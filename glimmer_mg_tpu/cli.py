@@ -1,0 +1,131 @@
+"""Command-line entry points.
+
+Usage: python -m glimmer_mg_tpu.cli <command> [options]
+
+Commands mirror the reference tool surface (glimmer3, build-icm, long-orfs,
+extract, ...) with the same file formats, so the reference's pipelines can be
+driven by this framework interchangeably.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_build_icm(argv):
+    p = argparse.ArgumentParser(prog="build-icm")
+    p.add_argument("output")
+    p.add_argument("-d", "--depth", type=int, default=7)
+    p.add_argument("-p", "--period", type=int, default=3)
+    p.add_argument("-w", "--width", type=int, default=12)
+    p.add_argument("-r", "--reverse", action="store_true")
+    p.add_argument("-F", "--no_stops", action="store_true")
+    p.add_argument("--input", default="-", help="multi-FASTA (default stdin)")
+    a = p.parse_args(argv)
+
+    from .io.fasta import read_fasta
+    from .models import dna, icm as icm_mod, icm_train
+
+    src = sys.stdin if a.input == "-" else open(a.input)
+    import io as _io, tempfile, os
+
+    text = src.read()
+    recs = []
+    header = None
+    chunks = []
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                recs.append("".join(chunks))
+            header = line
+            chunks = []
+        elif header is not None:
+            chunks.append("".join(line.split()))
+    if header is not None:
+        recs.append("".join(chunks))
+
+    strings = icm_train.prepare_training_strings(
+        recs, reverse=a.reverse, skip_in_frame_stops=a.no_stops
+    )
+    m = icm_train.train_icm(
+        [dna.encode(s) for s in strings],
+        model_len=a.width,
+        depth=a.depth,
+        periodicity=a.period,
+    )
+    icm_mod.write_icm(m, a.output)
+
+
+def cmd_glimmer3(argv):
+    p = argparse.ArgumentParser(prog="glimmer3")
+    p.add_argument("sequence_file")
+    p.add_argument("tag")
+    p.add_argument("-m", "--icm", required=True)
+    p.add_argument("-u", "--fudge", type=float, default=None)
+    p.add_argument("-g", "--gene_len", type=int, default=75)
+    p.add_argument("-o", "--max_olap", type=int, default=50)
+    p.add_argument("-C", "--gc_percent", type=float, default=None)
+    p.add_argument("-b", "--rbs_pwm", default=None)
+    p.add_argument("-f", "--features", default=None,
+                   help="features file (correct semantics, unlike the "
+                        "reference glimmer3 whose -f toggles first-codon)")
+    p.add_argument("--first_codon", action="store_true",
+                   help="use first start codon (reference -f behavior)")
+    p.add_argument("-A", "--start_codons", default=None)
+    p.add_argument("-Z", "--stop_codons", default=None)
+    a = p.parse_args(argv)
+
+    from .io.fasta import read_fasta
+    from .models import icm as icm_mod, features as feat
+    from .engine import glimmer3 as g3
+
+    recs = list(read_fasta(a.sequence_file))
+    m = icm_mod.read_icm(a.icm)
+    rbs = None
+    if a.rbs_pwm:
+        rbs = feat.PWM.read(a.rbs_pwm)
+        rbs.counts_to_prob()
+        rbs.probs_to_logs()
+    feature_models = None
+    if a.features:
+        from .io.features_file import parse_features
+
+        feature_models = parse_features(a.features, min_gene_len=a.gene_len,
+                                        max_olap_bases=a.max_olap)
+    results = list(
+        g3.run_glimmer3(
+            recs,
+            m,
+            gc_frac=None if a.gc_percent is None else a.gc_percent / 100.0,
+            logodds_fudge=a.fudge,
+            min_gene_len=a.gene_len,
+            max_olap_bases=a.max_olap,
+            use_first_start_codon=a.first_codon,
+            start_codons=a.start_codons.split(",") if a.start_codons else None,
+            stop_codons=a.stop_codons.split(",") if a.stop_codons else None,
+            rbs_pwm=rbs,
+            feature_models=feature_models,
+        )
+    )
+    with open(a.tag + ".predict", "w") as fh:
+        fh.write(g3.format_predict(results))
+
+
+COMMANDS = {
+    "build-icm": cmd_build_icm,
+    "glimmer3": cmd_glimmer3,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: glimmer_mg_tpu <{'|'.join(COMMANDS)}> [options]",
+              file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,362 @@
+"""glimmer3-equivalent single-genome prediction engine.
+
+Reference: src/Glimmer/glimmer3.cc (main 156-325, Score_Orfs 1275-1552)
+plus the shared machinery in glimmer_base.cc. The ICM scoring runs through
+the vectorized walk (exact f32 table values, f64 cumulative sums); ORF
+enumeration and the event DP are the exact host implementations in
+engine.orfs / engine.events.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..models import dna, features, icm as icm_mod
+from . import events as ev_mod
+from . import orfs as orf_mod
+
+INT_MAX = 2**31 - 1
+
+
+@dataclasses.dataclass
+class Start:
+    j: int
+    pos: int
+    score: float
+    first: bool
+    which: int
+    truncated: bool
+    errors: tuple = ()
+
+
+@dataclasses.dataclass
+class Models:
+    """The reference's model globals bundled per run."""
+
+    gene_icm: icm_mod.ICM
+    indep_model: icm_mod.ICM
+    patterns: orf_mod.CodonPatterns
+    logodds_prior: np.float32 = np.float32(-1.0)
+    logodds_start: features.StartDist = dataclasses.field(
+        default_factory=features.StartDist
+    )
+    logodds_length: features.LengthDist = dataclasses.field(
+        default_factory=features.LengthDist
+    )
+    logodds_adj_or: features.AdjOrDist = dataclasses.field(
+        default_factory=features.AdjOrDist
+    )
+    logodds_adj_dist: features.AdjDistDist = dataclasses.field(
+        default_factory=features.AdjDistDist
+    )
+    logodds_pwm: features.PWM = dataclasses.field(default_factory=features.PWM)
+    user_rbs: bool = False
+    ribosome_window_size: int = 20
+    min_gene_len: int = 75
+    max_olap_bases: int = 50
+    event_threshold: float = -3.0
+    start_threshold: float = -6.0
+    ignore_score_len: int = INT_MAX
+    use_first_start_codon: bool = False
+    allow_truncated_orfs: bool = False
+    indep_gc_frac: float = 0.5
+
+
+def set_ignore_score_len(gc_frac: float, stop_codons) -> int:
+    """glimmer_base.cc:2597-2633: Poisson-expected longest random ORF / Mbp."""
+    lam = 0.0
+    for sc in stop_codons:
+        x = 1.0
+        for ch in sc[:3]:
+            if ch in "cg":
+                x *= gc_frac / 2.0
+            else:
+                x *= (1.0 - gc_frac) / 2.0
+        lam += x
+    return int(math.floor(3.0 * math.log(2.0 * 1000000 * lam) / lam))
+
+
+def gc_fraction(seqs) -> float:
+    """Set_GC_Fraction (glimmer_base.cc:2564): over Filter()ed characters."""
+    ct = 0
+    total = 0
+    for s in seqs:
+        e = dna.encode(s)
+        total += len(e)
+        ct += int(((e == 1) | (e == 2)).sum())
+    return ct / total
+
+
+class PwmScorer:
+    """Start-site RBS scoring against the full sequence.
+
+    PWM_Score_Fwd_Start / PWM_Score_Rev_Start (glimmer_base.cc:2063-2213)
+    for the user-supplied log-odds PWM; the Meta (mixture) variant returns
+    (0, 0) when no meta PWMs are loaded — matching glimmer3 without -b.
+    """
+
+    def __init__(self, models: Models, seq_idx: np.ndarray):
+        self.m = models
+        self.seq = seq_idx
+        self.n = len(seq_idx)
+        pwm = models.logodds_pwm
+        if models.user_rbs and not pwm.is_empty():
+            w = pwm.width
+            # Precompute sliding-window column-sum scores for both strands.
+            cols = pwm.cols  # (w, 4) log-odds
+            fwd = np.zeros(self.n - w + 1) if self.n >= w else np.zeros(0)
+            rc = dna.COMPLEMENT_INDEX[seq_idx]
+            rev = np.zeros(self.n - w + 1) if self.n >= w else np.zeros(0)
+            for j in range(w):
+                fwd += cols[j][self.seq[j : j + len(fwd)]]
+                # reverse strand window starting (0-based) at q, reading
+                # complement right-to-left: handled in rev_start directly.
+            self.fwd_window = fwd
+            self.pwm_w = w
+        else:
+            self.fwd_window = None
+            self.pwm_w = 0
+
+    def fwd_start(self, pos: int):
+        """Best PWM match in `window` bases before 1-based position pos."""
+        m = self.m
+        pwm = m.logodds_pwm
+        if not m.user_rbs or pwm.is_empty():
+            return 0.0, 0
+        n = pwm.width
+        bottom = pos - m.ribosome_window_size - 1
+        score = -np.inf
+        sep = 0
+        best_sep = 0
+        lo = pos - n - 1
+        while lo >= 0 and lo >= bottom:
+            sc = float(self.fwd_window[lo]) if lo < len(self.fwd_window) else 0.0
+            if sc > score:
+                score = sc
+                best_sep = sep
+            lo -= 1
+            sep += 1
+        if score == -np.inf:
+            return 0.0, 0  # no fit: mirrors ref leaving score=-DBL_MAX? see note
+        return score, best_sep
+
+    def rev_start(self, pos: int):
+        m = self.m
+        pwm = m.logodds_pwm
+        if not m.user_rbs or pwm.is_empty():
+            return 0.0, 0
+        n = pwm.width
+        top = pos - 1 + m.ribosome_window_size
+        score = -np.inf
+        sep = 0
+        best_sep = 0
+        hi = pos - 1 + n
+        cols = pwm.cols
+        while hi < self.n and hi <= top:
+            window = dna.COMPLEMENT_INDEX[self.seq[hi - n + 1 : hi + 1]][::-1]
+            sc = float(cols[np.arange(n), window].sum())
+            if sc > score:
+                score = sc
+                best_sep = sep
+            hi += 1
+            sep += 1
+        if score == -np.inf:
+            return 0.0, 0
+        return score, best_sep
+
+
+def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer):
+    """Score_Orfs (glimmer3.cc:1275): per-ORF start scoring + event creation."""
+    m = models
+    n = len(seq_idx)
+    masks_of = np.array([1, 2, 4, 8], dtype=np.int32)
+
+    gene_ct = 0
+    for orf in orf_list:
+        frame = orf.frame
+        length = orf.orf_len
+        if frame > 0:
+            hi = orf.stop_position - 1
+            lo = hi - length
+            # Reverse_Transfer: seq[hi-1], seq[hi-2], ... (0-based), len chars
+            buff = seq_idx[hi - length : hi][::-1]
+            orf_is_truncated = lo < 3 and m.allow_truncated_orfs
+            k0 = orf.stop_position - length - 2
+        else:
+            lo = orf.stop_position + 2
+            hi = lo + length
+            # Complement_Transfer from 0-based subscript lo
+            buff = dna.COMPLEMENT_INDEX[seq_idx[lo : lo + length]]
+            orf_is_truncated = (n - hi) < 3 and m.allow_truncated_orfs
+            k0 = orf.stop_position + length + 4
+
+        mm = len(buff)
+        if mm == 0:
+            continue
+
+        gene_pb = icm_mod.per_base_logprob_vec(m.gene_icm, buff, 1, cycle=True)
+        indep_pb = icm_mod.per_base_logprob_vec(m.indep_model, buff, 1, cycle=True)
+        llr = np.cumsum(gene_pb.astype(np.float64)) - np.cumsum(
+            indep_pb.astype(np.float64)
+        )
+
+        # Start-codon candidates: codon at scan index j is
+        # (buff[j+2], buff[j+1], buff[j]).
+        bm = masks_of[buff]
+        cod = np.zeros(mm, dtype=np.int32)
+        cod |= bm
+        cod[: mm - 1] |= bm[1:] << 4
+        cod[: mm - 2] |= bm[2:] << 8
+        can_any = dna.can_be(cod, m.patterns.fwd_start)
+        # first matching pattern index (reference `which`)
+        whichs = np.full(mm, -1, dtype=np.int64)
+        for pi in range(len(m.patterns.fwd_start) - 1, -1, -1):
+            hit = dna.can_be(cod, m.patterns.fwd_start[pi : pi + 1])
+            whichs[hit] = pi
+
+        lowest_j = min(3, m.min_gene_len - 3)
+        start_list: list[Start] = []
+        first_pos = 0
+        first_score = first_j = 0
+        first_is_truncated = False
+        best_score = -np.inf
+        best_pos = best_j = 0
+        best_is_truncated = False
+
+        cand = np.arange(mm - 1, lowest_j - 1, -1)
+        cand = cand[(cand % 3 == 0) & (cand + 3 >= m.min_gene_len)]
+        for j in cand:
+            j = int(j)
+            if not (can_any[j] or (first_pos == 0 and orf_is_truncated)):
+                continue
+            which = int(whichs[j])
+            next_s = float(llr[j - 1])
+            k = k0 + (mm - 1 - j) if frame > 0 else k0 - (mm - 1 - j)
+            first_flag = first_pos == 0
+
+            if which >= 0 and first_pos == 0 and orf_is_truncated:
+                start_list.append(
+                    Start(j + 2, k, next_s, first_flag, -1, True)
+                )
+                first_flag = False
+            start_list.append(
+                Start(j + 2, k, next_s, first_flag, which, which < 0)
+            )
+            if first_pos == 0:
+                first_score = next_s
+                first_pos = k
+                first_j = j + 2
+                first_is_truncated = first_pos == 0 and orf_is_truncated
+            if next_s > best_score:
+                best_score = next_s
+                best_pos = k
+                best_j = j + 2
+                best_is_truncated = which < 0
+
+        if m.use_first_start_codon:
+            best_score = first_score
+            best_pos = first_pos
+            best_j = first_j
+            best_is_truncated = first_is_truncated
+
+        if first_j + 1 < m.min_gene_len:
+            continue
+
+        # long-ORF boost (glimmer3.cc:1464-1466)
+        for s in start_list:
+            if s.j > m.ignore_score_len:
+                s.score = max(0.0, s.score)
+
+        is_tentative = first_j + 1 >= m.min_gene_len and best_score > m.start_threshold
+
+        if is_tentative:
+            gene_ct += 1
+            if frame > 0:
+                engine.add_events_fwd(orf, start_list, pwm_scorer)
+            else:
+                engine.add_events_rev(orf, start_list, pwm_scorer)
+
+    return gene_ct
+
+
+def predict_sequence(models: Models, seq: str):
+    """Run the full per-sequence pipeline; returns traced genes."""
+    seq_idx = dna.encode(seq)
+    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
+    n = len(seq_idx)
+
+    orf_list = orf_mod.find_orfs(
+        masks,
+        models.patterns,
+        min_gene_len=models.min_gene_len,
+        allow_truncated=models.allow_truncated_orfs,
+    )
+    engine = ev_mod.EventEngine(models, n)
+    pwm_scorer = PwmScorer(models, seq_idx)
+    score_orfs(models, seq_idx, orf_list, engine, pwm_scorer)
+    engine.process_events()
+    final = engine.set_final_event()
+    return ev_mod.trace_back(final, n)
+
+
+def run_glimmer3(
+    sequences,  # list of (header, seq) pairs
+    gene_icm: icm_mod.ICM,
+    *,
+    gc_frac: float | None = None,
+    logodds_fudge: float | None = None,
+    use_first_start_codon: bool = False,
+    start_codons=None,
+    stop_codons=None,
+    min_gene_len: int = 75,
+    max_olap_bases: int = 50,
+    rbs_pwm: features.PWM | None = None,
+    feature_models: dict | None = None,
+):
+    """glimmer3 main-mode equivalent. Yields (header, [TracedGene])."""
+    patterns = orf_mod.CodonPatterns.make(start_codons, stop_codons)
+    if gc_frac is None:
+        gc_frac = gc_fraction([s for _, s in sequences])
+    indep = icm_mod.build_indep_wo_stops(gc_frac, patterns.stop_codons)
+    models = Models(
+        gene_icm=gene_icm,
+        indep_model=indep,
+        patterns=patterns,
+        indep_gc_frac=gc_frac,
+        min_gene_len=min_gene_len,
+        max_olap_bases=max_olap_bases,
+        use_first_start_codon=use_first_start_codon,
+    )
+    # LogOdds_Prior starts at DEFAULT_PRIOR (-1); only -u adds the fudge
+    # (float arithmetic, glimmer3.cc:946-953).
+    models.logodds_prior = np.float32(-1.0)
+    if logodds_fudge is not None:
+        models.logodds_prior = np.float32(
+            models.logodds_prior + np.float32(logodds_fudge)
+        )
+    models.ignore_score_len = set_ignore_score_len(gc_frac, patterns.stop_codons)
+    if rbs_pwm is not None:
+        models.logodds_pwm = rbs_pwm.make_log_odds_wrt_gc(gc_frac)
+        models.user_rbs = True
+    if feature_models:
+        for key, val in feature_models.items():
+            setattr(models, key, val)
+
+    for header, seq in sequences:
+        yield header, predict_sequence(models, seq)
+
+
+def format_predict(results) -> str:
+    """.predict format (glimmer3.cc:1752: 'orf%05d %8d %8d %+3d %8.2f')."""
+    out = []
+    for header, genes in results:
+        out.append(f">{header}\n")
+        for g in genes:
+            out.append(
+                "orf%05d %8d %8d %+3d %8.2f\n"
+                % (g.id, g.start, g.stop, g.frame, g.score)
+            )
+    return "".join(out)

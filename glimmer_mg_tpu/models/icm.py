@@ -223,6 +223,47 @@ def frame_score(icm: ICM, base_idx: np.ndarray, frame: int) -> np.ndarray:
     return per_base_logprob(icm, base_idx, frame, cycle=False)
 
 
+def per_base_logprob_vec(
+    icm: ICM, base_idx: np.ndarray, frame: int, cycle: bool = True
+) -> np.ndarray:
+    """Vectorized per-base log-probs (numpy mirror of ops/icm_score.py).
+
+    Returns the exact float32 table entries (bit-identical to the scalar
+    walk); callers accumulate in float64 to match the C++ double sums.
+    """
+    if icm.periodicity == 1:
+        frame = 0
+    w = icm.model_len - 1
+    s = np.asarray(base_idx, dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    padded = np.concatenate([np.zeros(w, dtype=np.int64), s])
+    ctx = np.zeros(n, dtype=np.int64)
+    for k in range(w):
+        ctx |= padded[k : k + n] << (2 * k)
+
+    i = np.arange(n, dtype=np.int64)
+    thresh = np.maximum(0, w - i)
+    if cycle:
+        fr = (frame + i) % icm.periodicity
+    else:
+        fr = np.full(n, frame % icm.periodicity, dtype=np.int64)
+
+    mip = icm.mip.astype(np.int64)
+    node = np.zeros(n, dtype=np.int64)
+    done = np.zeros(n, dtype=bool)
+    for _ in range(icm.model_depth):
+        pos = mip[fr, node]
+        avail = pos >= thresh
+        b = (ctx >> (2 * np.maximum(pos, 0))) & 3
+        node = np.where(done | ~avail, node, 4 * node + b + 1)
+        done |= ~avail
+    pos = mip[fr, node]
+    node = np.where(pos == -2, (node - 1) // 4, node)
+    return icm.probs[fr, node, s]
+
+
 # ---------------------------------------------------------------------------
 # Analytic null models
 # ---------------------------------------------------------------------------
@@ -237,7 +278,11 @@ def _fill_codon_tree(codon_prob: np.ndarray) -> ICM:
     """
     codon_prob = codon_prob / np.add.reduce(codon_prob)
     icm = ICM.empty(model_len=3, depth=2, periodicity=3)
-    probs = np.zeros((3, 21, 4), dtype=np.float64)
+    # The reference accumulates straight into the float32 prob fields
+    # (icm.cc:160-198: `p->prob[...] += codon_prob[j]` with prob a float),
+    # rounding after EVERY addition — np.add.at on a float32 array with
+    # float64 addends reproduces that per-element cast-on-store.
+    probs = np.zeros((3, 21, 4), dtype=np.float32)
     j = np.arange(64)
 
     for i in range(3):
@@ -257,9 +302,16 @@ def _fill_codon_tree(codon_prob: np.ndarray) -> ICM:
     icm.mip[0, 5:21] = -1
     np.add.at(probs[0], (5 + 4 * ((j // d2) % 4) + (j // d3) % 4, (j // d1) % 4), codon_prob)
 
+    # Normalize + log in float64 (C: double sum of the float probs, then
+    # log(prob/sum) stored float; icm.cc:201-211).
+    p64 = probs.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        sums = probs.sum(axis=-1, keepdims=True)
-        norm = np.where(sums == 0.0, 0.0, np.log(np.where(sums > 0, probs / np.where(sums == 0, 1, sums), 1.0)))
+        sums = p64.sum(axis=-1, keepdims=True)
+        norm = np.where(
+            sums == 0.0,
+            0.0,
+            np.log(np.where(sums > 0, p64 / np.where(sums == 0, 1, sums), 1.0)),
+        )
     icm.probs = norm.astype(np.float32)
     # Unreached nodes in frames 1, 2 stay prob 0 / mip 0 like the reference's
     # calloc'd arrays; mark nothing pruned.

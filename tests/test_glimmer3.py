@@ -1,0 +1,96 @@
+"""glimmer3 engine parity: .predict output vs the reference binary."""
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from glimmer_mg_tpu.engine import glimmer3 as g3
+from glimmer_mg_tpu.io.fasta import read_fasta
+from glimmer_mg_tpu.models import dna, icm as icm_mod, icm_train
+
+from . import oracle
+
+SAMPLE = Path("/root/reference/sample-run/glimmer3")
+
+
+@pytest.fixture(scope="module")
+def oracle_bin():
+    if not oracle.available():
+        pytest.skip("reference sources unavailable")
+    return oracle.ensure_built()
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n")
+            for k in range(0, len(s), 60):
+                f.write(s[k : k + 60] + "\n")
+
+
+def _train_icm(rng, n=60, length=400):
+    genes = ["".join(rng.choice(list("acgt"), length)) for _ in range(n)]
+    return icm_train.train_icm([dna.encode(g[::-1]) for g in genes])
+
+
+def _oracle_glimmer3(tmp_path, seqs, icm, extra_args):
+    fna = tmp_path / "g.fna"
+    icm_path = tmp_path / "g.icm"
+    _write_fasta(fna, seqs)
+    icm_mod.write_icm(icm, icm_path)
+    bin_dir = oracle.ensure_built()
+    res = subprocess.run(
+        [str(bin_dir / "glimmer3"), *extra_args, "-m", str(icm_path), str(fna),
+         str(tmp_path / "out")],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return (tmp_path / "out.predict").read_text()
+
+
+@pytest.mark.parametrize("seed,gc,fudge", [(2, 0.5, None), (3, 0.35, -12), (4, 0.62, -5)])
+def test_random_genomes(tmp_path, oracle_bin, seed, gc, fudge):
+    rng = np.random.default_rng(seed)
+    icm = _train_icm(rng)
+    p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+    seqs = ["".join(rng.choice(list("acgt"), int(rng.integers(5000, 30000)), p=p))
+            for _ in range(3)]
+    args = [] if fudge is None else ["-u", str(fudge)]
+    want = _oracle_glimmer3(tmp_path, seqs, icm, args)
+    got = g3.format_predict(
+        list(
+            g3.run_glimmer3(
+                [(f"s{i}", s) for i, s in enumerate(seqs)], icm, logodds_fudge=fudge
+            )
+        )
+    )
+    assert got == want
+
+
+def test_min_gene_len_and_ambiguous(tmp_path, oracle_bin):
+    rng = np.random.default_rng(7)
+    icm = _train_icm(rng)
+    seq = "".join(rng.choice(list("acgtnryswkmbdhv"), 20000,
+                             p=[0.23, 0.23, 0.23, 0.23] + [0.08 / 11] * 11))
+    want = _oracle_glimmer3(tmp_path, [seq], icm, ["-g", "120", "-u", "-12"])
+    got = g3.format_predict(
+        list(g3.run_glimmer3([("s0", seq)], icm, logodds_fudge=-12, min_gene_len=120))
+    )
+    assert got == want
+
+
+@pytest.mark.slow
+def test_sample_run_golden():
+    """Bit-identical .predict on the H. pylori sample run (run1 config)."""
+    fna = SAMPLE / "NC_000915.fna"
+    icm_path = SAMPLE / "results/NC_000915.icm"
+    golden = SAMPLE / "results/NC_000915.run1.predict"
+    if not fna.exists():
+        pytest.skip("sample run unavailable")
+    recs = list(read_fasta(fna))
+    m = icm_mod.read_icm(icm_path)
+    got = g3.format_predict(list(g3.run_glimmer3(recs, m, logodds_fudge=-12)))
+    assert got == golden.read_text()
