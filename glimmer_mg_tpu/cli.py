@@ -112,9 +112,63 @@ def cmd_glimmer3(argv):
         fh.write(g3.format_predict(results))
 
 
+def cmd_glimmer_mg(argv):
+    p = argparse.ArgumentParser(prog="glimmer-mg")
+    p.add_argument("sequence_file")
+    p.add_argument("tag")
+    p.add_argument("-m", "--icm", default=None)
+    p.add_argument("-c", "--classes", default=None, help="classification file")
+    p.add_argument("-u", "--fudge", type=float, default=None)
+    p.add_argument("-g", "--gene_len", type=int, default=75)
+    p.add_argument("-o", "--max_olap", type=int, default=50)
+    p.add_argument("-b", "--rbs_pwm", default=None)
+    p.add_argument("-f", "--features", default=None)
+    p.add_argument("-i", "--indel", action="store_true")
+    p.add_argument("-s", "--sub", action="store_true")
+    p.add_argument("-q", "--quality", default=None)
+    p.add_argument("-r", "--circular", action="store_true")
+    a = p.parse_args(argv)
+
+    from .io.fasta import read_fasta, read_qual
+    from .models import icm as icm_mod, features as feat
+    from .engine import glimmer_mg as mg
+
+    recs = list(read_fasta(a.sequence_file))
+    if a.icm is None:
+        p.error("classification mode (-c without -m) arrives with the "
+                "parallel classifier; specify -m for now")
+    m = icm_mod.read_icm(a.icm)
+    rbs = None
+    if a.rbs_pwm:
+        rbs = feat.PWM.read(a.rbs_pwm)
+        rbs.counts_to_prob()
+        rbs.probs_to_logs()
+    quals = None
+    if a.quality:
+        quals = {h.split()[0]: q for h, q in read_qual(a.quality)}
+    results = list(
+        mg.run_glimmer_mg(
+            recs,
+            m,
+            qualities=quals,
+            features_path=a.features,
+            rbs_pwm=rbs,
+            logodds_fudge=a.fudge,
+            min_gene_len=a.gene_len,
+            max_olap_bases=a.max_olap,
+            allow_indels=a.indel,
+            allow_subs=a.sub,
+            circular=a.circular,
+        )
+    )
+    with open(a.tag + ".predict", "w") as fh:
+        fh.write(mg.format_predict_mg(results))
+
+
 COMMANDS = {
     "build-icm": cmd_build_icm,
     "glimmer3": cmd_glimmer3,
+    "glimmer-mg": cmd_glimmer_mg,
 }
 
 

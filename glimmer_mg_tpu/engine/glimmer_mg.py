@@ -1,0 +1,526 @@
+"""glimmer-mg metagenomics prediction engine (per-read, error-tolerant).
+
+Reference: src/Glimmer/glimmer-mg.cc. Differences from the glimmer3 engine:
+
+  * whole-read 6-frame per-base LLR precompute (``Score_All_Frames``,
+    glimmer-mg.cc:1468) + previous/next stop index arrays
+    (``Save_Prev_Stops``, 675) — ORF scoring then reads cached values
+    (``Cumulative_Frame_Score``, 561), so window contexts cross ORF
+    boundaries (unlike glimmer3, which rescores each ORF in isolation);
+  * sequencing-error tolerance: substitution pass-through of stop codons
+    (``Pass_Stop_Penalty``, 961) and frame-shift branching at low-quality
+    bases (``Score_Indels``, 1513), recursively enumerating error sets
+    (``Score_Orf_Starts``, 1693) with 454 homopolymer quality synthesis
+    (``Set_Quality_454``, 1865);
+  * .predict rows carry I:/D:/S: error coordinates (``Trace_Back``, 1909).
+
+The per-base LLR precompute is the TPU-hot path: it is exactly
+6 fixed-frame ICM walks over the read (ops/icm_score.per_base_logprob with
+cycle=False), batched over reads on device; this module consumes those
+per-base arrays and runs the exact event semantics on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models import dna, icm as icm_mod
+from . import events as ev_mod
+from . import orfs as orf_mod
+from .glimmer3 import Models, PwmScorer, Start
+
+INT_MAX = 2**31 - 1
+
+INDEL_SUFFIX_SCORE_THRESHOLD = -12.0
+INDEL_QUALITY_THRESHOLD = 18
+INDEL_MAX = 2
+MIN_INDEL_ORF_LEN = 15
+
+
+class Error:
+    """Error_t (gene.hh:138): pos 1-based; type 0=ins, 1=del, 2=sub."""
+
+    __slots__ = ("pos", "type")
+
+    def __init__(self, pos, type):
+        self.pos = pos
+        self.type = type
+
+    def __eq__(self, o):
+        return (self.pos, self.type) == (o.pos, o.type)
+
+    def __hash__(self):
+        return hash((self.pos, self.type))
+
+    def __repr__(self):
+        return f"Err({self.pos},{'ids'[self.type]})"
+
+
+def set_quality_454(seq: str) -> list[int]:
+    """Synthesize 454-style qualities from homopolymer runs (mg.cc:1865)."""
+    run_q = [31 - 5 * q for q in range(6)]  # {31,26,21,16,11,6}
+    n = len(seq)
+    qv = [0] * n
+    run = 0
+    last = None
+    for i, ch in enumerate(seq):
+        if ch != last:
+            if i > 0:
+                qv[i - 1] = run_q[run] if run < len(run_q) else run_q[-1]
+            run = 1
+        else:
+            qv[i - 1] = 31
+            run += 1
+        last = ch
+    if n:
+        qv[n - 1] = run_q[run] if run < len(run_q) else run_q[-1]
+    return qv
+
+
+def clean_quality_454(seq: str, quals: list[int]) -> list[int]:
+    """Clean_Quality_454 (mg.cc:519): floor at 1; in homopolymers only the
+    final base keeps its low quality."""
+    qv = [max(1, q) for q in quals]
+    if len(qv) != len(seq):
+        raise ValueError("sequence length does not match quality values length")
+    for i in range(1, len(seq)):
+        if seq[i] == seq[i - 1]:
+            qv[i - 1] = max(qv[i - 1], INDEL_QUALITY_THRESHOLD + 1)
+    return qv
+
+
+class MgSequenceState:
+    """Per-read precomputed state: 6-frame LLRs + stop indexes."""
+
+    def __init__(self, models: Models, seq_idx: np.ndarray):
+        self.m = models
+        self.seq = seq_idx
+        n = len(seq_idx)
+        self.n = n
+        self.frame_scores = np.zeros((6, n), dtype=np.float64)
+
+        # Score_All_Frames: forward frames from the reversed sequence…
+        rev = seq_idx[::-1]
+        for f in range(3):
+            g = icm_mod.per_base_logprob_vec(models.gene_icm, rev, f, cycle=False)
+            nn = icm_mod.per_base_logprob_vec(models.indep_model, rev, f, cycle=False)
+            self.frame_scores[f] = (
+                g.astype(np.float64)[::-1] - nn.astype(np.float64)[::-1]
+            )
+        # …reverse frames from the complemented (unreversed) sequence.
+        comp = dna.COMPLEMENT_INDEX[seq_idx]
+        for f in range(3):
+            g = icm_mod.per_base_logprob_vec(models.gene_icm, comp, f, cycle=False)
+            nn = icm_mod.per_base_logprob_vec(models.indep_model, comp, f, cycle=False)
+            self.frame_scores[3 + f] = g.astype(np.float64) - nn.astype(np.float64)
+
+        self._save_prev_stops()
+
+    def _save_prev_stops(self):
+        """Save_Prev_Stops (mg.cc:675): per-position previous fwd stop / next
+        rev stop in the position's frame (0-based codon-boundary indexes)."""
+        n = self.n
+        masks = np.array([1, 2, 4, 8], dtype=np.uint8)[self.seq]
+        cod = dna.codon12_stream(masks)
+        fwd_stop = dna.must_be(cod, self.m.patterns.fwd_stop)
+        idx = np.arange(n)
+
+        self.fwd_prev = np.empty(n, dtype=np.int64)
+        last = [0, 1, -1]
+        for i in range(n):
+            f = i % 3
+            if i >= 2 and fwd_stop[i]:
+                last[f] = i
+            self.fwd_prev[i] = last[f]
+
+        # reverse: stops detected scanning right-to-left over revcomp codons;
+        # a rev stop with 0-based first base i is flagged by rev_stop[i+2]
+        # in the forward codon stream.
+        rev_stop = dna.must_be(cod, self.m.patterns.rev_stop)
+        self.rev_next = np.empty(n, dtype=np.int64)
+        last = [n - 1, n - 2, n]
+        for i in range(n - 1, -1, -1):
+            f = (n - 1 - i) % 3
+            if i <= n - 3 and rev_stop[i + 2]:
+                last[f] = i
+            self.rev_next[i] = last[f]
+
+    def fwd_prev_stop(self, end_point: int) -> int:
+        if 0 <= end_point < self.n:
+            return int(self.fwd_prev[end_point])
+        return end_point
+
+    def rev_next_stop(self, end_point: int) -> int:
+        if 0 <= end_point < self.n:
+            return int(self.rev_next[end_point])
+        return end_point
+
+    def cumulative_frame_score(self, frame: int, lo: int, hi: int) -> np.ndarray:
+        """Cumulative_Frame_Score (mg.cc:561): cumsum of cached LLRs, frame
+        cycling starting at 1 (the '0,2,1 codon order' quirk)."""
+        length = hi - lo
+        if length <= 0:
+            return np.zeros(max(0, length), dtype=np.float64)
+        if frame > 0:
+            si = np.arange(hi - 1, lo - 1, -1)
+            f = (1 + np.arange(length)) % 3
+            vals = self.frame_scores[f, si]
+        else:
+            si = np.arange(lo - 1, hi - 1)
+            f = 3 + (1 + np.arange(length)) % 3
+            vals = self.frame_scores[f, si]
+        return np.cumsum(vals)
+
+
+def pass_stop_penalty(models, seq_str, quals, frame, lo, hi) -> float:
+    """Pass_Stop_Penalty (mg.cc:961)."""
+    import math
+
+    default_p = 0.999
+    if frame > 0:
+        stop_i = [lo - 3, lo - 2, lo - 1]
+    else:
+        stop_i = [hi + 1, hi, hi - 1]
+    if quals is not None:
+        codon_p = [1.0 - 10.0 ** (-float(quals[s]) / 10.0) for s in stop_i]
+    else:
+        codon_p = [default_p] * 3
+    p_stop = codon_p[0]
+    mid = seq_str[stop_i[1]]
+    if (frame > 0 and mid == "a") or (frame < 0 and mid == "t"):
+        p_stop *= 2.0 / 3.0 * codon_p[1] + 1.0 / 3.0
+    else:
+        p_stop *= codon_p[1]
+    last = seq_str[stop_i[2]]
+    if (frame > 0 and last == "a") or (frame < 0 and last == "t"):
+        p_stop *= 2.0 / 3.0 * codon_p[2] + 1.0 / 3.0
+    else:
+        p_stop *= codon_p[2]
+    return math.log(1.0 - p_stop) - math.log(p_stop)
+
+
+class MgScorer:
+    """Score_Orfs_Errors / Score_Orf_Starts / Score_Indels."""
+
+    def __init__(self, models: Models, seq_str: str, seq_idx, state, quals,
+                 allow_indels=False, allow_subs=False, have_qual_file=False):
+        self.m = models
+        self.seq_str = seq_str
+        self.seq = seq_idx
+        self.state = state
+        self.quals = quals
+        self.allow_indels = allow_indels
+        self.allow_subs = allow_subs
+        self.have_qual_file = have_qual_file
+        masks_of = np.array([1, 2, 4, 8], dtype=np.int32)
+        self.masks = masks_of[seq_idx]
+        self.comp_masks = masks_of[dna.COMPLEMENT_INDEX[seq_idx]]
+
+    def score_orf_starts(self, orf, start_list, end_point, suffix_score,
+                         suffix_j, errors):
+        """mg.cc:1693."""
+        m = self.m
+        st = self.state
+        n = st.n
+        frame = orf.frame
+
+        if frame > 0:
+            hi = end_point
+            lo = st.fwd_prev_stop(end_point - 1) + 1
+            length = hi - lo
+            orf_is_truncated = lo < 3 and m.allow_truncated_orfs
+            k = lo - 1
+            if length >= 0:
+                # reversed buffer masks: buff[j] = seq[hi-1-j]
+                bidx = np.arange(hi - 1, hi - 1 - length, -1)
+                bm = self.masks[bidx] if length > 0 else np.zeros(0, np.int32)
+                bq = (
+                    [self.quals[i] for i in bidx]
+                    if self.quals is not None
+                    else None
+                )
+            else:
+                bm, bq = np.zeros(0, np.int32), None
+        else:
+            lo = end_point
+            hi = st.rev_next_stop(end_point - 1) + 1
+            length = hi - lo
+            orf_is_truncated = (n - (hi - 1)) < 3 and m.allow_truncated_orfs
+            k = hi + 1
+            if lo - 1 < n:
+                bidx = np.arange(lo - 1, lo - 1 + length)
+                bm = self.comp_masks[bidx] if length > 0 else np.zeros(0, np.int32)
+                bq = (
+                    [self.quals[i] for i in bidx]
+                    if self.quals is not None
+                    else None
+                )
+            else:
+                bm, bq = np.zeros(0, np.int32), None
+
+        score = st.cumulative_frame_score(frame, lo, hi)
+
+        # -- substitution branch: mutate previous stop codon (mg.cc:1769) --
+        if self.allow_subs and len(errors) < 1:
+            if frame > 0:
+                error_end_point = lo - 3
+                error_pos = lo - 2
+            else:
+                error_end_point = hi + 3
+                error_pos = hi + 2
+            if error_end_point >= 0 and error_end_point - 2 < n:
+                error_suffix_j = suffix_j + length
+                error_suffix_score = suffix_score + pass_stop_penalty(
+                    m, self.seq_str, self.quals if self.have_qual_file else None,
+                    frame, lo, hi,
+                )
+                if len(score):
+                    error_suffix_score += float(score[-1])
+                self.score_orf_starts(
+                    orf, start_list, error_end_point, error_suffix_score,
+                    error_suffix_j, errors + [Error(error_pos, 2)],
+                )
+
+        # -- start scanning (with indel branching) --
+        mm = len(score)
+        if mm:
+            cod = np.zeros(mm, dtype=np.int32)
+            cod |= bm
+            cod[: mm - 1] |= bm[1:] << 4
+            cod[: mm - 2] |= bm[2:] << 8
+            can_any = dna.can_be(cod, m.patterns.fwd_start)
+            whichs = np.full(mm, -1, dtype=np.int64)
+            for pi in range(len(m.patterns.fwd_start) - 1, -1, -1):
+                hit = dna.can_be(cod, m.patterns.fwd_start[pi : pi + 1])
+                whichs[hit] = pi
+        lowest_j = min(3, m.min_gene_len - 3)
+        first_pos = 0
+        kk = k
+        for j in range(mm - 1, lowest_j - 1, -1):
+            if (
+                self.allow_indels
+                and bq is not None
+                and bq[j] <= INDEL_QUALITY_THRESHOLD
+                and len(errors) < INDEL_MAX
+            ):
+                self._score_indels(
+                    orf, start_list, errors, suffix_score, suffix_j, score,
+                    bq[j], kk, j,
+                )
+            if (
+                j % 3 == 0
+                and (can_any[j] or (first_pos == 0 and orf_is_truncated))
+                and j + 3 + suffix_j >= m.min_gene_len
+            ):
+                which = int(whichs[j])
+                next_s = float(score[j - 1])
+                first_flag = first_pos == 0
+                base = Start(
+                    j + 2 + suffix_j, kk, next_s + suffix_score, first_flag,
+                    which, which < 0, tuple(errors),
+                )
+                if which >= 0 and first_pos == 0 and orf_is_truncated:
+                    start_list.append(
+                        Start(base.j, kk, base.score, first_flag, -1, True,
+                              tuple(errors))
+                    )
+                    base.first = False
+                start_list.append(base)
+                if first_pos == 0:
+                    first_pos = kk
+            if frame > 0:
+                kk += 1
+            else:
+                kk -= 1
+
+    def _score_indels(self, orf, start_list, errors, suffix_score, suffix_j,
+                      score, q, k, j):
+        """Score_Indels (mg.cc:1513)."""
+        import math
+
+        frame = orf.frame
+        prob_err = 10.0 ** (-float(q) / 10.0)
+        penalty = math.log(prob_err / 2.0) - math.log(1.0 - prob_err)
+
+        if frame > 0:
+            branches = [
+                # (llr index, new end point, error)
+                (j, k + (j % 3), Error(k + 3, 1)),  # deletion
+                (j - 1, k - (2 - (j % 3)), Error(k + 2, 0)),  # insertion
+            ]
+        else:
+            branches = [
+                (j, k - (j % 3), Error(k - 1, 1)),
+                (j - 1, k + 2 - (j % 3), Error(k - 2, 0)),
+            ]
+        for sidx, end_point, err in branches:
+            ess = suffix_score + float(score[sidx]) + penalty
+            if ess > INDEL_SUFFIX_SCORE_THRESHOLD:
+                esj = suffix_j + j + 2 - (j % 3)
+                self.score_orf_starts(
+                    orf, start_list, end_point, ess, esj, errors + [err]
+                )
+
+
+def score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer):
+    """Score_Orfs_Errors (mg.cc:1605)."""
+    m = models
+    for orf in orf_list:
+        frame = orf.frame
+        start_list: list[Start] = []
+        if frame > 0:
+            end_point = orf.stop_position - 1
+        else:
+            end_point = orf.stop_position + 3
+        scorer.score_orf_starts(orf, start_list, end_point, 0.0, 0, [])
+
+        for s in start_list:
+            if s.j > m.ignore_score_len:
+                s.score = max(0.0, s.score)
+
+        if not start_list:
+            continue
+        start_list.sort(key=lambda s: s.pos)  # Start_Cmp: pos ascending
+        first_j = start_list[0].j if frame > 0 else start_list[-1].j
+        if first_j + 1 < m.min_gene_len:
+            continue
+        best_score = max(s.score for s in start_list)
+        if best_score > m.start_threshold:
+            if frame > 0:
+                engine.add_events_fwd(orf, start_list, pwm_scorer)
+            else:
+                engine.add_events_rev(orf, start_list, pwm_scorer)
+
+
+def predict_read(models: Models, seq: str, quals=None, *, allow_indels=False,
+                 allow_subs=False, have_qual_file=False):
+    """Full per-read pipeline; returns traced genes (with errors)."""
+    seq_idx = dna.encode(seq)
+    seq_str = dna.decode(seq_idx)
+    n = len(seq_idx)
+    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
+
+    if allow_indels:
+        if not have_qual_file or quals is None:
+            quals = set_quality_454(seq_str)
+        else:
+            quals = clean_quality_454(seq_str, quals)
+
+    orf_list = orf_mod.find_orfs(
+        masks,
+        models.patterns,
+        min_gene_len=models.min_gene_len,
+        allow_truncated=models.allow_truncated_orfs,
+        allow_indel_orfs=allow_indels or allow_subs,
+        min_indel_orf_len=MIN_INDEL_ORF_LEN,
+    )
+    state = MgSequenceState(models, seq_idx)
+    scorer = MgScorer(models, seq_str, seq_idx, state, quals,
+                      allow_indels=allow_indels, allow_subs=allow_subs,
+                      have_qual_file=have_qual_file)
+    engine = ev_mod.EventEngine(models, n)
+    pwm_scorer = PwmScorer(models, seq_idx)
+    score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer)
+    engine.process_events()
+    final = engine.set_final_event()
+    return ev_mod.trace_back(final, n)
+
+
+def run_glimmer_mg(
+    sequences,  # list of (header, seq)
+    gene_icm: icm_mod.ICM,
+    *,
+    qualities: dict | None = None,  # header-prefix -> [int]
+    features_path=None,
+    rbs_pwm=None,
+    gc_frac: float | None = None,
+    logodds_fudge: float | None = None,
+    min_gene_len: int = 75,
+    max_olap_bases: int = 50,
+    allow_indels: bool = False,
+    allow_subs: bool = False,
+    circular: bool = False,
+    start_codons=None,
+    stop_codons=None,
+):
+    """glimmer-mg with a user ICM (-m mode; classification mode lives in
+    parallel/classify.py). Yields (header, [TracedGene])."""
+    from .glimmer3 import gc_fraction, set_ignore_score_len
+    from ..io import features_file
+
+    if allow_indels and allow_subs:
+        raise ValueError("cannot use indels and subs simultaneously")
+
+    patterns = orf_mod.CodonPatterns.make(start_codons, stop_codons)
+    if gc_frac is None:
+        gc_frac = gc_fraction([s for _, s in sequences])
+    indep = icm_mod.build_indep_wo_stops(gc_frac, patterns.stop_codons)
+    models = Models(
+        gene_icm=gene_icm,
+        indep_model=indep,
+        patterns=patterns,
+        indep_gc_frac=gc_frac,
+        min_gene_len=min_gene_len,
+        max_olap_bases=max_olap_bases,
+        allow_truncated_orfs=not circular,
+    )
+    models.logodds_prior = np.float32(-1.0)
+    if logodds_fudge is not None:
+        models.logodds_prior = np.float32(
+            models.logodds_prior + np.float32(logodds_fudge)
+        )
+    models.ignore_score_len = set_ignore_score_len(gc_frac, patterns.stop_codons)
+
+    if features_path is not None:
+        parsed = features_file.parse_features(
+            features_path,
+            min_gene_len=min_gene_len,
+            max_olap_bases=max_olap_bases,
+            sequence_aa_lengths=[len(s) // 3 for _, s in sequences],
+            logodds_fudge=logodds_fudge,
+        )
+        if parsed.logodds_prior is not None:
+            models.logodds_prior = parsed.logodds_prior
+        if parsed.logodds_length is not None:
+            models.logodds_length = parsed.logodds_length
+        if parsed.logodds_start is not None:
+            models.logodds_start = parsed.logodds_start
+        if parsed.logodds_adj_or is not None:
+            models.logodds_adj_or = parsed.logodds_adj_or
+            models.logodds_adj_dist = parsed.logodds_adj_dist
+
+    if rbs_pwm is not None:
+        models.logodds_pwm = rbs_pwm.make_log_odds_wrt_gc(gc_frac)
+        models.user_rbs = True
+
+    for header, seq in sequences:
+        quals = None
+        have_qual = False
+        if qualities is not None:
+            quals = qualities.get(header.split()[0])
+            have_qual = quals is not None
+        yield header, predict_read(
+            models, seq, quals,
+            allow_indels=allow_indels, allow_subs=allow_subs,
+            have_qual_file=have_qual,
+        )
+
+
+def format_predict_mg(results) -> str:
+    """glimmer-mg .predict rows with I:/D:/S: error lists (mg.cc:2023)."""
+    out = []
+    for header, genes in results:
+        out.append(f">{header}\n")
+        for g in genes:
+            ins = sorted(e.pos for e in g.errors if e.type == 0)
+            dels = sorted(e.pos for e in g.errors if e.type == 1)
+            subs = sorted(e.pos for e in g.errors if e.type == 2)
+            out.append(
+                "orf%05d %8d %8d %+3d %8.2f I:%s D:%s S:%s\n"
+                % (
+                    g.id, g.start, g.stop, g.frame, g.score,
+                    ",".join(map(str, ins)), ",".join(map(str, dels)),
+                    ",".join(map(str, subs)),
+                )
+            )
+    return "".join(out)
