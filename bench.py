@@ -1,0 +1,115 @@
+"""Benchmark: ICM-bank read scoring throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "icm_bank_scoring", "value": <model-Mbp/s/chip>, "unit": "Mbp*models/s", "vs_baseline": N}
+
+The metric is model-megabases scored per second per chip — a read of length
+L scored against M models (both strands counted once via the fwd/rev max,
+matching Phymm's per-read work unit of 2 strand passes) contributes
+L * M * 2 / 1e6 model-Mbp. The baseline is the reference implementation's
+single-core ICM scoring throughput measured on this machine:
+ICM_t::Score_String over the sample-run reads = 7.43 Mbp/s per model per
+core (999 reads x 500 bp x 20 reps through the compiled reference code).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MBP_PER_S = 7.43  # C++ Score_String, single core, this machine
+
+N_MODELS = 16
+READ_LEN = 510  # multiple of 3 for the frame-phase split
+BATCH = 512
+STEPS = 5
+
+
+def build_inputs():
+    from glimmer_mg_tpu.io.fasta import read_fasta
+    from glimmer_mg_tpu.models import icm as icm_mod
+    from glimmer_mg_tpu.ops import icm_score
+    from glimmer_mg_tpu.parallel.classify import pad_reads
+
+    # Bank: the golden trained ICM plus perturbed copies (same tree shape,
+    # jittered probabilities) — scoring cost is identical to real banks.
+    base = icm_mod.read_icm(
+        "/root/reference/sample-run/glimmer3/results/NC_000915.icm"
+    )
+    rng = np.random.default_rng(0)
+    icms = []
+    for i in range(N_MODELS):
+        m = icm_mod.ICM(
+            base.model_len,
+            base.model_depth,
+            base.periodicity,
+            base.mip.copy(),
+            (base.probs * (1.0 + 0.01 * rng.standard_normal(base.probs.shape)))
+            .astype(np.float32),
+        )
+        icms.append(m)
+    mip, probs = icm_score.stack_bank(icms)
+
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    seqs = [s.lower() for _, s in recs]
+    while len(seqs) < BATCH:
+        seqs = seqs + seqs
+    seqs = seqs[:BATCH]
+    reads, lengths = pad_reads(seqs, length=READ_LEN)
+    lengths = np.minimum(lengths, READ_LEN)
+    return mip, probs, reads, lengths
+
+
+def main():
+    import jax
+
+    from glimmer_mg_tpu.ops.icm_pallas import pack_tables
+    from glimmer_mg_tpu.parallel.classify import classify_step_pallas
+
+    mip, probs, reads, lengths = build_inputs()
+    tabs = pack_tables(mip, probs)
+    dev = jax.devices()[0]
+    tabs, reads, lengths = jax.device_put((tabs, reads, lengths), dev)
+
+    t0 = time.time()
+    scores, best = classify_step_pallas(*tabs, reads, lengths, 12, 7)
+    jax.block_until_ready(scores)
+    compile_s = time.time() - t0
+
+    # Fresh input each step (the remote execution relay memoizes repeat
+    # calls with identical inputs); upload before timing, block per step.
+    host_reads = np.asarray(reads)
+    shifted = [
+        jax.device_put(np.roll(host_reads, k + 1, axis=0), dev)
+        for k in range(STEPS)
+    ]
+    jax.block_until_ready(shifted)
+    t0 = time.time()
+    for k in range(STEPS):
+        scores, best = classify_step_pallas(*tabs, shifted[k], lengths, 12, 7)
+        jax.block_until_ready(scores)
+    dt = (time.time() - t0) / STEPS
+
+    total_bp = int(np.sum(lengths))
+    model_mbp = total_bp * N_MODELS * 2 / 1e6  # fwd + revcomp passes
+    value = model_mbp / dt
+    out = {
+        "metric": "icm_bank_scoring",
+        "value": round(value, 2),
+        "unit": "Mbp*models/s",
+        "vs_baseline": round(value / REFERENCE_MBP_PER_S, 2),
+        "detail": {
+            "backend": jax.default_backend(),
+            "batch": int(reads.shape[0]),
+            "read_len": READ_LEN,
+            "models": N_MODELS,
+            "step_ms": round(dt * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

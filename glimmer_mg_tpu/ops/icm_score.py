@@ -140,14 +140,19 @@ def bank_score_reads(
     """
     b, l = reads.shape
     mask = jnp.arange(l)[None, :] < lengths[:, None]
+    reads32 = reads.astype(jnp.int32)
 
-    def one_model(mip, probs):
+    def one_model(carry, model):
+        mip, probs = model
         per_read = jax.vmap(
             lambda r: per_base_logprob(mip, probs, r, 0, model_len, depth, cycle=True)
-        )(reads.astype(jnp.int32))
-        return jnp.sum(jnp.where(mask, per_read, 0.0), axis=-1)
+        )(reads32)
+        return carry, jnp.sum(jnp.where(mask, per_read, 0.0), axis=-1)
 
-    return jax.vmap(one_model, in_axes=(0, 0), out_axes=1)(bank_mip, bank_probs)
+    # scan over the model axis: compile cost is one model body regardless of
+    # bank size (vmap over models made compile time scale with the bank).
+    _, scores = jax.lax.scan(one_model, 0, (bank_mip, bank_probs))
+    return scores.T
 
 
 def stack_bank(icms) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,48 @@
+"""Device mesh construction and sharding helpers.
+
+The framework's scale-out axes (SURVEY §2.4):
+  * ``model`` — the ICM bank (hundreds of reference genome models) is
+    sharded across devices; per-read classification takes a max/argmax
+    across the model axis (the reference's ICM-sharded phymm_par mode,
+    scripts/phymm_par.py:146-200, whose file-merge is our all-gather).
+  * ``data`` — read batches are sharded across devices (the reference's
+    read-sharded mode, phymm_par.py:210-261); training-count reductions
+    psum over this axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int | None = None, devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None and model is None:
+        data, model = n, 1
+    elif data is None:
+        data = n // model
+    elif model is None:
+        model = n // data
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+
+
+def shard_reads(mesh: Mesh, reads, lengths):
+    """Place padded reads/lengths sharded along the data axis."""
+    rs = NamedSharding(mesh, P("data", None))
+    ls = NamedSharding(mesh, P("data"))
+    return jax.device_put(reads, rs), jax.device_put(lengths, ls)
+
+
+def shard_bank(mesh: Mesh, bank_mip, bank_probs):
+    """Place an ICM bank sharded along the model axis."""
+    ms = NamedSharding(mesh, P("model"))
+    return (
+        jax.device_put(bank_mip, NamedSharding(mesh, P("model", None, None))),
+        jax.device_put(bank_probs, NamedSharding(mesh, P("model", None, None, None))),
+    )

@@ -1,0 +1,101 @@
+"""Pallas kernel (interpret mode), device trainer, and sharded EM tests."""
+
+import numpy as np
+import pytest
+import jax
+
+from glimmer_mg_tpu.models import dna, icm as icm_mod, icm_train
+from glimmer_mg_tpu.ops import icm_pallas, icm_score, icm_train_device
+from glimmer_mg_tpu.parallel import classify as pclassify
+from glimmer_mg_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def golden():
+    import pathlib
+
+    p = pathlib.Path("/root/reference/sample-run/glimmer3/results/NC_000915.icm")
+    if not p.exists():
+        pytest.skip("golden ICM unavailable")
+    return icm_mod.read_icm(p)
+
+
+def test_pallas_kernel_interpret(golden):
+    rng = np.random.default_rng(0)
+    other = icm_mod.ICM(12, 7, 3, golden.mip.copy(), (golden.probs * 1.1).astype(np.float32))
+    mip, probs = icm_score.stack_bank([golden, other])
+    tabs = icm_pallas.pack_tables(mip, probs)
+    reads = rng.integers(0, 4, (4, 126), dtype=np.int32)
+    lengths = np.array([126, 100, 50, 9], np.int32)
+    got = np.asarray(
+        icm_pallas.bank_score_reads_pallas(*tabs, reads, lengths, 12, 7, interpret=True)
+    )
+    # exact f64 reference
+    want = np.array(
+        [
+            [icm_mod.score_string(m, r[:l], 0) for m in (golden, other)]
+            for r, l in zip(reads, lengths)
+        ]
+    )
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_revcomp_reads():
+    rng = np.random.default_rng(1)
+    reads = rng.integers(0, 4, (3, 20), dtype=np.int32)
+    lengths = np.array([20, 13, 5], np.int32)
+    rc = np.asarray(pclassify.revcomp_reads(reads, lengths))
+    for i, l in enumerate(lengths):
+        want = dna.COMPLEMENT_INDEX[reads[i, :l]][::-1]
+        np.testing.assert_array_equal(rc[i, :l], want)
+        assert (rc[i, l:] == 0).all()
+
+
+def test_device_trainer_matches_host():
+    rng = np.random.default_rng(2)
+    seqs = ["".join(rng.choice(list("acgt"), 400)) for _ in range(30)]
+    enc = [dna.encode(s) for s in seqs]
+    host = icm_train.train_icm(enc, model_len=12, depth=4)
+
+    reads, lengths = pclassify.pad_reads(seqs)
+    assign = np.ones((len(seqs), 1), dtype=np.float32)
+    mip, probs = icm_train_device.train_icm_bank(
+        reads, lengths, assign, n_models=1, model_len=12, depth=4
+    )
+    mip = np.asarray(mip)[0]
+    probs = np.asarray(probs)[0]
+    # trees must agree except where float32 MI rounding flips near-ties
+    agree = (mip == host.mip).mean()
+    assert agree > 0.995, f"tree agreement {agree}"
+    same = mip == host.mip
+    alive = (host.mip >= -1) & same
+    d = np.abs(probs[alive] - host.probs[alive])
+    assert d.max() < 2e-2, d.max()
+
+
+def test_sharded_em_step_runs():
+    mesh = pmesh.make_mesh(data=4, model=2)
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("acgt"), 120)) for _ in range(16)]
+    icms = [
+        icm_train.train_icm(
+            [dna.encode("".join(rng.choice(list("acgt"), 300))) for _ in range(5)],
+            model_len=12,
+            depth=2,
+        )
+        for _ in range(2)
+    ]
+    mip, probs = icm_score.stack_bank(icms)
+    reads, lengths = pclassify.pad_reads(seqs, length=120)
+    reads_s, lengths_s = pmesh.shard_reads(mesh, reads, lengths)
+    mip_s, probs_s = pmesh.shard_bank(mesh, mip, probs)
+    with mesh:
+        new_mip, new_probs, best, scores = pclassify.em_step(
+            mip_s, probs_s, reads_s, lengths_s, n_models=2, model_len=12, depth=2
+        )
+        jax.block_until_ready((new_mip, new_probs))
+    assert scores.shape == (16, 2)
+    assert new_mip.shape == (2, 3, icm_mod.num_tree_nodes(2))
+    # classification agrees with single-device scoring
+    want, best_want = pclassify.classify_step(mip, probs, reads, lengths, 12, 2)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(want), rtol=1e-5, atol=1e-3)
