@@ -165,10 +165,112 @@ def cmd_glimmer_mg(argv):
         fh.write(mg.format_predict_mg(results))
 
 
+def cmd_long_orfs(argv):
+    p = argparse.ArgumentParser(prog="long-orfs")
+    p.add_argument("sequence_file")
+    p.add_argument("output", help="output file or - for stdout")
+    p.add_argument("-t", "--cutoff", type=float, default=None,
+                   help="entropy distance filter cutoff")
+    p.add_argument("-g", "--gene_len", type=int, default=90)
+    p.add_argument("-o", "--max_olap", type=int, default=30)
+    p.add_argument("-f", "--fixed", action="store_true")
+    p.add_argument("-L", "--length_opt", action="store_true",
+                   help="optimize total bases instead of count")
+    p.add_argument("-l", "--linear", action="store_true")
+    p.add_argument("-n", "--no_header", action="store_true")
+    a = p.parse_args(argv)
+
+    from .io.fasta import read_fasta
+    from .pipeline.long_orfs import run_long_orfs
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    lines, final_len = run_long_orfs(
+        seq,
+        min_gene_len=a.gene_len,
+        max_olap=a.max_olap,
+        circular=not a.linear,
+        fixed_min_len=a.fixed,
+        optimize_total=a.length_opt,
+        entropy_cutoff=a.cutoff,
+    )
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    if not a.no_header:
+        out.write("\nPutative Genes:\n")
+    out.write("\n".join(lines) + "\n")
+    if a.output != "-":
+        out.close()
+
+
+def cmd_extract(argv):
+    p = argparse.ArgumentParser(prog="extract")
+    p.add_argument("sequence_file")
+    p.add_argument("coords", help="coordinate list file or - for stdin")
+    p.add_argument("-t", "--nostop", action="store_true")
+    p.add_argument("-s", "--nostart", action="store_true")
+    p.add_argument("-w", "--nowrap", action="store_true")
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    p.add_argument("-d", "--dir", action="store_true")
+    a = p.parse_args(argv)
+
+    from .io.fasta import read_fasta, write_fasta
+    from .pipeline.extract import extract
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    coords = sys.stdin.read() if a.coords == "-" else open(a.coords).read()
+    recs = extract(
+        seq, coords,
+        is_circular=not a.nowrap, min_len=a.minlen,
+        skip_start=a.nostart, skip_stop=a.nostop, use_direction=a.dir,
+    )
+    write_fasta(sys.stdout, recs, width=60)
+
+
+def cmd_train_features(argv):
+    p = argparse.ArgumentParser(prog="train-features")
+    p.add_argument("--predict", required=True)
+    p.add_argument("--seq", required=True)
+    p.add_argument("-l", "--min_length", type=int, default=75)
+    p.add_argument("-o", "--max_overlap", type=int, default=50)
+    p.add_argument("--min_icm", type=int, default=0)
+    p.add_argument("-z", "--mycoplas", action="store_true")
+    a = p.parse_args(argv)
+
+    import os
+
+    from .io.fasta import read_fasta_dict
+    from .pipeline.train_features import train_features
+
+    seqs = read_fasta_dict(a.seq)
+    out_prefix = os.path.splitext(a.predict)[0]
+    train_features(
+        open(a.predict).read(), seqs, out_prefix,
+        min_length=a.min_length, max_overlap=a.max_overlap,
+        min_icm_bp=a.min_icm, mycoplasma=a.mycoplas,
+    )
+
+
+def cmd_g3_iterated(argv):
+    p = argparse.ArgumentParser(prog="g3-iterated")
+    p.add_argument("genome")
+    p.add_argument("tag")
+    p.add_argument("--no-quirk", action="store_true",
+                   help="apply features files in runs 2-3 (the documented "
+                        "intent) instead of the reference binary's behavior")
+    a = p.parse_args(argv)
+
+    from .pipeline.g3_iterated import run_g3_iterated
+
+    run_g3_iterated(a.genome, a.tag, quirk_compat=not a.no_quirk)
+
+
 COMMANDS = {
     "build-icm": cmd_build_icm,
     "glimmer3": cmd_glimmer3,
     "glimmer-mg": cmd_glimmer_mg,
+    "long-orfs": cmd_long_orfs,
+    "extract": cmd_extract,
+    "train-features": cmd_train_features,
+    "g3-iterated": cmd_g3_iterated,
 }
 
 
