@@ -228,8 +228,11 @@ class EventEngine:
             initial = p
         ep_list.append(initial)
 
-        # std::sort by pos only; Python's stable sort on collection order.
-        ep_list.sort(key=lambda e: e.pos)
+        # std::sort with Event_Pos_Cmp — use the faithful libstdc++
+        # introsort so equal-pos orderings match the reference exactly.
+        from ..utils.stdsort import std_sort
+
+        std_sort(ep_list, lambda a, b: a.pos < b.pos)
 
         for ev in ep_list:
             if ev.e_type == INITIAL:

@@ -380,7 +380,9 @@ def score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer):
 
         if not start_list:
             continue
-        start_list.sort(key=lambda s: s.pos)  # Start_Cmp: pos ascending
+        from ..utils.stdsort import std_sort
+
+        std_sort(start_list, lambda a, b: a.pos < b.pos)  # std::sort w/ Start_Cmp
         first_j = start_list[0].j if frame > 0 else start_list[-1].j
         if first_j + 1 < m.min_gene_len:
             continue
@@ -420,6 +422,298 @@ def predict_read(models: Models, seq: str, quals=None, *, allow_indels=False,
                       have_qual_file=have_qual_file)
     engine = ev_mod.EventEngine(models, n)
     pwm_scorer = PwmScorer(models, seq_idx)
+    score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer)
+    engine.process_events()
+    final = engine.set_final_event()
+    return ev_mod.trace_back(final, n)
+
+
+class MetaPwmScorer:
+    """RBS scoring against a mixture of class PWMs with per-position
+    memoization (PWM_Meta_Score_Fwd/Rev_Start, glimmer-mg.cc:1900-2060)."""
+
+    def __init__(self, models: Models, seq_idx: np.ndarray, pwms):
+        import math
+
+        self.m = models
+        self.seq = seq_idx
+        self.n = len(seq_idx)
+        self.pwms = pwms  # raw-probability PWMs
+        self.cache: dict[int, tuple] = {}
+        gc = models.indep_gc_frac
+        gc_log = math.log(0.5 * gc)
+        at_log = math.log(0.5 * (1.0 - gc))
+        self.nt_lp = np.array([at_log, gc_log, gc_log, at_log])
+
+    def _window_score(self, window_idx) -> float:
+        import math
+
+        cond = [float(np.prod(p.cols[np.arange(p.width), window_idx]))
+                for p in self.pwms]
+        gc_lp = float(self.nt_lp[window_idx].sum())
+        return math.log(sum(cond) / len(self.pwms)) - gc_lp
+
+    def fwd_start(self, pos: int):
+        if not self.pwms:
+            return 0.0, 0
+        key = pos - 1
+        if key in self.cache:
+            return self.cache[key]
+        n = self.pwms[0].width
+        bottom = pos - self.m.ribosome_window_size - 1
+        score = -np.inf
+        best_sep = sep = 0
+        lo = pos - n - 1
+        while lo >= 0 and lo >= bottom:
+            sc = self._window_score(self.seq[lo : lo + n])
+            if sc > score:
+                score = sc
+                best_sep = sep
+            lo -= 1
+            sep += 1
+        out = (score, best_sep)
+        self.cache[key] = out
+        return out
+
+    def rev_start(self, pos: int):
+        if not self.pwms:
+            return 0.0, 0
+        key = self.n + pos - 1
+        if key in self.cache:
+            return self.cache[key]
+        n = self.pwms[0].width
+        top = pos - 1 + self.m.ribosome_window_size
+        score = -np.inf
+        best_sep = sep = 0
+        hi = pos - 1 + n
+        while hi < self.n and hi <= top:
+            window = dna.COMPLEMENT_INDEX[self.seq[hi - n + 1 : hi + 1]][::-1]
+            sc = self._window_score(window)
+            if sc > score:
+                score = sc
+                best_sep = sep
+            hi += 1
+            sep += 1
+        out = (score, best_sep)
+        self.cache[key] = out
+        return out
+
+
+def run_glimmer_mg_classes(
+    sequences,  # list of (header, seq)
+    genome_data,  # io.genome_data.GenomeData
+    classifications: dict,  # header prefix -> [class strings]
+    *,
+    qualities: dict | None = None,
+    user_icm: icm_mod.ICM | None = None,
+    features_path=None,
+    user_rbs_pwm=None,
+    logodds_fudge: float | None = None,
+    min_gene_len: int = 75,
+    max_olap_bases: int = 50,
+    allow_indels: bool = False,
+    allow_subs: bool = False,
+    circular: bool = False,
+):
+    """glimmer-mg classification mode (-c): per-read model parameterization.
+
+    Mirrors Update_Meta_* (glimmer-mg.cc:2050-2359): per-read the class
+    length/start/adjacency distributions are averaged (log-space for
+    lengths), the null ICM is rebuilt from mean class GC, stop codons come
+    from the top class's translation table, the RBS is a mixture of class
+    PWMs, and the gene ICM is the best (double) class ICM.
+    """
+    import math
+
+    from ..io import features_file
+    from ..io.genome_data import STOP_CODONS_BY_CODE
+    from .glimmer3 import set_ignore_score_len, gc_fraction
+    from ..utils.mathutils import log_add
+
+    if allow_indels and allow_subs:
+        raise ValueError("cannot use indels and subs simultaneously")
+
+    fudge_f32 = np.float32(1.0 if logodds_fudge is None else logodds_fudge)
+
+    parsed = None
+    if features_path is not None:
+        parsed = features_file.parse_features(
+            features_path,
+            min_gene_len=min_gene_len,
+            max_olap_bases=max_olap_bases,
+            sequence_aa_lengths=[len(s) // 3 for _, s in sequences],
+            logodds_fudge=logodds_fudge,
+        )
+
+    icm_cache: dict[str, icm_mod.ICM] = {}
+    model_cache: dict[tuple, Models] = {}
+
+    if user_icm is not None:
+        user_gc = gc_fraction([s for _, s in sequences])
+
+    for header, seq in sequences:
+        prefix = header.split()[0]
+        classes = classifications.get(prefix)
+        if classes is None or not classes:
+            yield header, []
+            continue
+        n = len(seq)
+
+        cache_key = (tuple(classes), n if parsed is None or not parsed.user_length else 0)
+        models = model_cache.get(cache_key)
+        if models is None:
+            # gene ICM
+            if user_icm is not None:
+                gene_icm = user_icm
+            else:
+                icm_file = genome_data.classes_icm_file(classes)
+                gene_icm = icm_cache.get(icm_file)
+                if gene_icm is None:
+                    gene_icm = icm_mod.read_icm(icm_file)
+                    icm_cache[icm_file] = gene_icm
+
+            # stop codons from top class's translation table (Update_Meta_Stop)
+            code = genome_data.transl_table(classes[0])
+            stop_codons = STOP_CODONS_BY_CODE.get(code, dna.DEFAULT_STOP_CODONS)
+            patterns = orf_mod.CodonPatterns.make(None, stop_codons)
+
+            # null ICM GC (Update_Meta_Null_ICM) or user GC
+            if user_icm is not None:
+                gc = user_gc
+            else:
+                gc = 0.0
+                for c in classes:
+                    gc += genome_data.gc(c)
+                gc /= np.float32(len(classes))
+            indep = icm_mod.build_indep_wo_stops(gc, patterns.stop_codons)
+
+            models = Models(
+                gene_icm=gene_icm,
+                indep_model=indep,
+                patterns=patterns,
+                indep_gc_frac=gc,
+                min_gene_len=min_gene_len,
+                max_olap_bases=max_olap_bases,
+                allow_truncated_orfs=not circular,
+            )
+            models.ignore_score_len = set_ignore_score_len(gc, patterns.stop_codons)
+            num = np.float32(len(classes))
+
+            # length + prior (Update_Meta_Length)
+            if parsed is not None and parsed.user_length:
+                models.logodds_prior = parsed.logodds_prior
+                models.logodds_length = parsed.logodds_length
+            else:
+                prior = fudge_f32
+                mixed_gene = None
+                mixed_non = None
+                for c in classes:
+                    gene_l, non_l, cls_prior = genome_data.lengths(c, min_gene_len)
+                    prior = np.float32(prior + cls_prior / num)
+                    if mixed_gene is None:
+                        mixed_gene = np.full(len(gene_l), -np.inf)
+                        mixed_non = np.full(len(non_l), -np.inf)
+                    for l in range(len(gene_l)):
+                        mixed_gene[l] = log_add(mixed_gene[l], gene_l[l])
+                    for l in range(len(non_l)):
+                        mixed_non[l] = log_add(mixed_non[l], non_l[l])
+                mixed_gene -= math.log(float(num))
+                mixed_non -= math.log(float(num))
+                models.logodds_prior = prior
+                models.logodds_length = features_file._length_make_log_odds(
+                    mixed_gene, mixed_non, [n // 3], min_gene_len
+                )
+
+            # starts (Update_Meta_Start)
+            if parsed is not None and parsed.user_start:
+                models.logodds_start = parsed.logodds_start
+            else:
+                sg = np.zeros(3, dtype=np.float32)
+                sn = np.zeros(3, dtype=np.float32)
+                for c in classes:
+                    g, nn = genome_data.starts(c)
+                    sg = (sg + g / num).astype(np.float32)
+                    sn = (sn + nn / num).astype(np.float32)
+                models.logodds_start.make_log_odds(sg, sn)
+
+            # adjacency (Update_Meta_Adj)
+            if parsed is not None and parsed.user_adj:
+                models.logodds_adj_or = parsed.logodds_adj_or
+                models.logodds_adj_dist = parsed.logodds_adj_dist
+            else:
+                aog = np.zeros(4, dtype=np.float32)
+                aon = np.zeros(4, dtype=np.float32)
+                mixed_ad: dict = {}
+                for c in classes:
+                    g, nn = genome_data.adj_orients(c)
+                    aog = (aog + g / num).astype(np.float32)
+                    aon = (aon + nn / num).astype(np.float32)
+                    ad = genome_data.adj_dists(c, max_olap_bases)
+                    for key, d in ad.items():
+                        if key not in mixed_ad:
+                            mixed_ad[key] = np.zeros(len(d), dtype=np.float32)
+                        mixed_ad[key] = (mixed_ad[key] + d / num).astype(np.float32)
+                models.logodds_adj_or.make_log_odds(aog, aon)
+                models.logodds_adj_dist.max_overlap = max_olap_bases
+                for key in ("ff", "fr", "rf"):
+                    models.logodds_adj_dist.make_log_odds(
+                        key, mixed_ad.get((key, "genes")), mixed_ad.get((key, "non"))
+                    )
+
+            # RBS mixture (Update_Meta_RBS) or user PWM
+            if user_rbs_pwm is not None:
+                models.logodds_pwm = user_rbs_pwm.make_log_odds_wrt_gc(gc)
+                models.user_rbs = True
+                models._meta_pwms = None
+            else:
+                models._meta_pwms = [genome_data.rbs_pwm(c) for c in classes]
+
+            model_cache[cache_key] = models
+
+        quals = None
+        have_qual = False
+        if qualities is not None:
+            quals = qualities.get(prefix)
+            have_qual = quals is not None
+
+        yield header, _predict_read_with_models(
+            models, seq, quals,
+            allow_indels=allow_indels, allow_subs=allow_subs,
+            have_qual_file=have_qual,
+        )
+
+
+def _predict_read_with_models(models, seq, quals=None, *, allow_indels=False,
+                              allow_subs=False, have_qual_file=False):
+    """predict_read but honoring models._meta_pwms for RBS scoring."""
+    seq_idx = dna.encode(seq)
+    seq_str = dna.decode(seq_idx)
+    n = len(seq_idx)
+    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
+
+    if allow_indels:
+        if not have_qual_file or quals is None:
+            quals = set_quality_454(seq_str)
+        else:
+            quals = clean_quality_454(seq_str, quals)
+
+    orf_list = orf_mod.find_orfs(
+        masks, models.patterns,
+        min_gene_len=models.min_gene_len,
+        allow_truncated=models.allow_truncated_orfs,
+        allow_indel_orfs=allow_indels or allow_subs,
+        min_indel_orf_len=MIN_INDEL_ORF_LEN,
+    )
+    state = MgSequenceState(models, seq_idx)
+    scorer = MgScorer(models, seq_str, seq_idx, state, quals,
+                      allow_indels=allow_indels, allow_subs=allow_subs,
+                      have_qual_file=have_qual_file)
+    engine = ev_mod.EventEngine(models, n)
+    meta_pwms = getattr(models, "_meta_pwms", None)
+    if meta_pwms is not None:
+        pwm_scorer = MetaPwmScorer(models, seq_idx, meta_pwms)
+    else:
+        pwm_scorer = PwmScorer(models, seq_idx)
     score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer)
     engine.process_events()
     final = engine.set_final_event()

@@ -214,19 +214,25 @@ def _length_make_log_odds(gene_l, non_l, frag_lengths, min_gene_len):
                 v *= short_multiplier
             full[l] = v
 
+        def safe_log(x):
+            # C log(): log(0) = -inf (no exception), log(<0) = nan
+            if x > 0.0:
+                return math.log(x)
+            return -math.inf if x == 0.0 else math.nan
+
         trunc = np.zeros(max_length, dtype=np.float64)
         trunc2 = np.zeros(max_length, dtype=np.float64)
         g_cum = n_cum = -math.inf
         g_cum2 = n_cum2 = -math.inf
         for l in range(max_length - 1, ld.min_aa_len - 1, -1):
             if l > frag:
-                w = math.log((frag - l_min) / (float(l) + frag - 2.0 * l_min))
+                w = safe_log((frag - l_min) / (float(l) + frag - 2.0 * l_min))
             else:
-                w = math.log((float(l) - l_min) / (float(l) + frag - 2.0 * l_min))
+                w = safe_log((float(l) - l_min) / (float(l) + frag - 2.0 * l_min))
             g_cum = mu.log_add(g_cum, gene_l[l] + w)
             n_cum = mu.log_add(n_cum, non_l[l] + w)
             if l > frag:
-                w2 = math.log((float(l) - frag) / (float(l) + frag - 2.0 * l_min))
+                w2 = safe_log((float(l) - frag) / (float(l) + frag - 2.0 * l_min))
                 g_cum2 = mu.log_add(g_cum2, gene_l[l] + w2)
                 n_cum2 = mu.log_add(n_cum2, non_l[l] + w2)
             trunc[l] = g_cum - n_cum
@@ -311,37 +317,19 @@ def parse_features(
 
     if start_gene is not None:
         sd = feat.StartDist()
-        sg = start_gene
-        sn = start_non if start_non is not None else np.full(3, np.float32(1.0 / 3))
-        sd.log_odds = np.array(
-            [math.log(float(g)) - math.log(float(nn)) for g, nn in zip(sg, sn)],
-            dtype=np.float32,
-        )
+        sd.make_log_odds(start_gene, start_non)
         out.logodds_start = sd
         out.user_start = True
 
     if adjor_gene is not None:
         ao = feat.AdjOrDist()
-        an = adjor_non if adjor_non is not None and len(adjor_non) >= 4 else np.full(
-            4, np.float32(0.25)
-        )
-        lo = [
-            np.float32(math.log(float(g)) - math.log(float(nn)))
-            for g, nn in zip(adjor_gene, an)
-        ]
-        ao.ff, ao.fr, ao.rf, ao.rr = lo
+        ao.make_log_odds(adjor_gene, adjor_non)
         out.logodds_adj_or = ao
 
         ad = feat.AdjDistDist()
         ad.max_overlap = max_olap_bases
         for key, attr in (("1_1", "ff"), ("1_-1", "fr"), ("-1_1", "rf")):
-            g = adj.get((key, "GENE"))
-            nn = adj.get((key, "NON"))
-            if g is None or nn is None:
-                setattr(ad, attr, np.zeros(1, dtype=np.float32))
-            else:
-                lo = np.log(g.astype(np.float64)) - np.log(nn.astype(np.float64))
-                setattr(ad, attr, lo.astype(np.float32))
+            ad.make_log_odds(attr, adj.get((key, "GENE")), adj.get((key, "NON")))
         out.logodds_adj_dist = ad
         out.user_adj = True
 

@@ -162,6 +162,20 @@ class StartDist:
     def score(self, which: int) -> np.float32:
         return self.log_odds[which]
 
+    def make_log_odds(self, gene_starts, non_starts) -> None:
+        """gene.cc:656-686: missing gene dist -> defaults, missing non ->
+        uniform; log-odds stored float32."""
+        n = len(DEFAULT_START_PROB)
+        if gene_starts is None or len(gene_starts) == 0:
+            gene_starts = np.array(DEFAULT_START_PROB, dtype=np.float32)
+        if non_starts is None or len(non_starts) == 0:
+            non_starts = np.full(n, np.float32(1.0 / n))
+        self.log_odds = np.array(
+            [math.log(float(g)) - math.log(float(nn))
+             for g, nn in zip(gene_starts, non_starts)],
+            dtype=np.float32,
+        )
+
 
 class AdjOrDist:
     """Adjacent-orientation log-odds (reference AdjOr_Dist_t), float32."""
@@ -181,6 +195,19 @@ class AdjOrDist:
         if e1 == REV_START:
             return self.rf if e2 == FWD_START else self.rr
         return np.float32(0.0)  # INITIAL / TERMINAL
+
+    def make_log_odds(self, gene_adjor, non_adjor) -> None:
+        """gene.cc:798-830: no info -> zeros; missing non -> uniform."""
+        if gene_adjor is None or len(gene_adjor) < 4:
+            self.ff = self.fr = self.rf = self.rr = np.float32(0.0)
+            return
+        if non_adjor is None or len(non_adjor) < 4:
+            non_adjor = np.full(4, np.float32(0.25))
+        lo = [
+            np.float32(math.log(float(g)) - math.log(float(nn)))
+            for g, nn in zip(gene_adjor, non_adjor)
+        ]
+        self.ff, self.fr, self.rf, self.rr = lo
 
 
 class AdjDistDist:
@@ -208,3 +235,13 @@ class AdjDistDist:
             # note: reference uses Fwd_Fwd for REV_START->REV_STOP (gene.cc:881)
             return self._look(self.rf if e2 == FWD_START else self.ff, length)
         return np.float32(0.0)
+
+    def make_log_odds(self, key: str, gene_dist, non_dist) -> None:
+        """gene.cc:898-925 Make_Log_Odds_Fwd_* for key in {ff, fr, rf}."""
+        if gene_dist is None or len(gene_dist) == 0 or non_dist is None or len(non_dist) == 0:
+            setattr(self, key, np.zeros(1, dtype=np.float32))
+            return
+        lo = np.log(np.asarray(gene_dist, np.float32).astype(np.float64)) - np.log(
+            np.asarray(non_dist, np.float32).astype(np.float64)
+        )
+        setattr(self, key, lo.astype(np.float32))

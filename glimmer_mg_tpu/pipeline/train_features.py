@@ -303,6 +303,77 @@ def compute_gc(seqs) -> float:
     return gc / (at + gc)
 
 
+def output_stats(out_prefix, stats, orf_type, max_overlap):
+    """train_features.py:563 output_stats: per-feature stat files (the
+    .genomeData layout consumed by glimmer-mg -c)."""
+    sfx = "genes" if orf_type == "gene" else "non"
+    with open(f"{out_prefix}.lengths.{sfx}.txt", "w") as out:
+        if stats["lengths"]:
+            for l in range(1 + max(stats["lengths"].keys())):
+                out.write("%d\t%d" % (l, int(stats["lengths"].get(l, 0))) + "\n")
+    with open(f"{out_prefix}.starts.{sfx}.txt", "w") as out:
+        for sc in FORWARD_STARTS:
+            out.write("%s\t%d\n" % (sc, int(stats["start_codons"][sc])))
+    with open(f"{out_prefix}.adj_orients.{sfx}.txt", "w") as out:
+        for s1 in (1, -1):
+            for s2 in (1, -1):
+                out.write("%d,%d\t%d\n" % (s1, s2, int(stats["adj_orients"][(s1, s2)])))
+    for s1 in (1, -1):
+        for s2 in (1, -1):
+            if s1 == -1 and s2 == -1:
+                continue
+            with open(f"{out_prefix}.adj_dist.{s1}.{s2}.{sfx}.txt", "w") as out:
+                d = stats["adj_dist"][(s1, s2)]
+                if d:
+                    for l in range(-max_overlap, 1 + max(d.keys())):
+                        out.write("%d\t%.1f\n" % (l, d.get(l, 0)))
+
+
+def train_genome_data(
+    predict_text: str,
+    seqs: dict[str, str],
+    out_prefix: str,
+    *,
+    min_length: int = 75,
+    max_overlap: int = 50,
+    min_icm_bp: int = 0,
+):
+    """Stats-file mode (reference train_features.py without -f): writes the
+    per-genome model files of the Phymm .genomeData layout, including
+    .gc.txt, used by train_all.py (SURVEY P6)."""
+    genes = parse_predict(predict_text, seqs)
+    hypothetical: dict = {}
+    gene_stats = init_stats()
+    nongene_stats = init_stats()
+    parse_genes(gene_stats, genes, seqs, hypothetical, min_length, max_overlap)
+    parse_nongenes(nongene_stats, genes, seqs, min_length, max_overlap)
+    destrand_orientations(gene_stats)
+    destrand_orientations(nongene_stats)
+    output_stats(out_prefix, gene_stats, "gene", max_overlap)
+    output_stats(out_prefix, nongene_stats, "nongene", max_overlap)
+
+    from . import elph
+
+    upstream = rbs_upstream_sequences(genes, seqs, hypothetical)
+    with open(f"{out_prefix}.motif", "w") as fh:
+        fh.write(elph.motif_counts(upstream, width=6))
+
+    from ..io.fasta import write_fasta
+    from ..models import dna, icm as icm_mod, icm_train
+
+    recs = gene_sequences(genes, seqs, hypothetical)
+    write_fasta(f"{out_prefix}.gene.fasta", recs, width=10**9)
+    bp = sum(len(s) for _, s in recs)
+    if bp >= min_icm_bp and bp > 0:
+        strings = icm_train.prepare_training_strings([s for _, s in recs], reverse=True)
+        strings = [s for s in strings if len(s) >= 12]
+        if strings:
+            m = icm_train.train_icm([dna.encode(s) for s in strings])
+            icm_mod.write_icm(m, f"{out_prefix}.gicm")
+    with open(f"{out_prefix}.gc.txt", "w") as fh:
+        fh.write("%f\n" % compute_gc(seqs))
+
+
 def train_features(
     predict_text: str,
     seqs: dict[str, str],
