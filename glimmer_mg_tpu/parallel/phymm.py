@@ -1,0 +1,171 @@
+"""Phymm-equivalent read classification against a genome ICM bank.
+
+The reference pipeline (scripts/phymm_par.py + scripts/scoreReadsGlim.pl)
+fans out processes, each running `simple-score -N <icm>` over all reads
+forward and reverse-complement, keeping the per-read max, then merges score
+matrices from files. Here the whole bank is a stacked tensor scored on
+device in one pass (the Pallas MXU walk kernel), optionally sharded over a
+(data, model) mesh; the "merge" is the device argmax/top-k.
+
+File-format parity: emits/reads the reference's rawPhymmOutput_*.txt
+(BEGIN_ICM_LIST / BEGIN_READID_LIST / BEGIN_DATA_MATRIX, one row per ICM;
+scoreReadsGlim.pl:376-555) and the results.01.phymm_*.txt best-hit table,
+so artifacts interoperate with reference tooling and support the pipeline's
+--raw/--class resume flags.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ..models import icm as icm_mod
+from ..ops import icm_pallas, icm_score
+from . import classify as pclassify
+
+
+def genome_icm_paths(icm_dir: str) -> list[str]:
+    """All whole-genome Phymm ICMs (<dir>/<strain>/<nc>.icm), sorted like
+    the reference's `sort { $a cmp $b }` over full paths."""
+    return sorted(glob.glob(os.path.join(icm_dir, "*", "*.icm")))
+
+
+def path_to_genome(path: str) -> str:
+    """ICM path -> 'strain|nc' (parse_phymm, glimmer-mg.py:556-559)."""
+    parts = path.split("/")
+    return "%s|%s" % (parts[-2], parts[-1].split(".")[0])
+
+
+class PhymmBank:
+    """A stacked, device-ready ICM bank."""
+
+    def __init__(self, icm_paths: list[str]):
+        self.paths = icm_paths
+        icms = [icm_mod.read_icm(p) for p in icm_paths]
+        self.model_len = icms[0].model_len
+        self.depth = max(m.model_depth for m in icms)
+        mip, probs = icm_score.stack_bank(icms)
+        self.mip, self.probs = mip, probs
+        self.tables = icm_pallas.pack_tables(mip, probs)
+
+    @classmethod
+    def from_genome_data(cls, icm_dir: str) -> "PhymmBank":
+        return cls(genome_icm_paths(icm_dir))
+
+    def score_reads(self, seqs: list[str], batch: int = 512, use_pallas=None):
+        """(n_reads, n_models) fwd/rev-max scores. Pads reads per batch."""
+        import jax
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        n = len(seqs)
+        out = np.zeros((n, len(self.paths)), dtype=np.float32)
+        length = max((len(s) for s in seqs), default=0)
+        length = max(3, length + (-length) % 3)  # pallas needs L % 3 == 0
+        for lo in range(0, n, batch):
+            chunk = seqs[lo : lo + batch]
+            reads, lengths = pclassify.pad_reads(chunk, length=length)
+            if use_pallas:
+                scores, _ = pclassify.classify_step_pallas(
+                    *self.tables, reads, lengths, self.model_len, self.depth
+                )
+            else:
+                scores, _ = pclassify.classify_step(
+                    self.mip, self.probs, reads, lengths, self.model_len, self.depth
+                )
+            out[lo : lo + len(chunk)] = np.asarray(scores)
+        return out
+
+
+def write_raw_phymm_output(path, icm_paths, read_ids, scores) -> None:
+    """scoreReadsGlim.pl raw matrix: one DATA row per ICM across reads."""
+    with open(path, "w") as fh:
+        fh.write("BEGIN_ICM_LIST\n")
+        for p in icm_paths:
+            fh.write(p + "\n")
+        fh.write("END_ICM_LIST\nBEGIN_READID_LIST\n")
+        for r in read_ids:
+            fh.write(r + "\n")
+        fh.write("END_READID_LIST\nBEGIN_DATA_MATRIX\n")
+        for g in range(len(icm_paths)):
+            fh.write(" ".join("%.4f" % s for s in scores[:, g]) + "\n")
+        fh.write("END_DATA_MATRIX\n")
+
+
+def read_raw_phymm_output(path):
+    """Returns (icm_paths, read_ids, scores (n_reads, n_models))."""
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    it = iter(lines)
+    assert next(it) == "BEGIN_ICM_LIST"
+    icm_paths = []
+    for line in it:
+        if line.startswith("END_ICM_LIST"):
+            break
+        icm_paths.append(line)
+    assert next(it) == "BEGIN_READID_LIST"
+    read_ids = []
+    for line in it:
+        if line.startswith("END_READID_LIST"):
+            break
+        read_ids.append(line)
+    assert next(it) == "BEGIN_DATA_MATRIX"
+    rows = []
+    for line in it:
+        if line.startswith("END_DATA_MATRIX"):
+            break
+        rows.append([float(x) for x in line.split()])
+    scores = np.array(rows, dtype=np.float64).T  # (reads, models)
+    return icm_paths, read_ids, scores
+
+
+def raw_phymm_name(sequence_file: str) -> str:
+    """rawPhymmOutput_<basename with . -> _>.txt (scoreReadsGlim.pl:376)."""
+    base = os.path.basename(sequence_file).replace(".", "_")
+    return f"rawPhymmOutput_{base}.txt"
+
+
+def results_name(sequence_file: str) -> str:
+    base = os.path.basename(sequence_file).replace(".", "_")
+    return f"results.01.phymm_{base}.txt"
+
+
+def write_results_table(path, read_ids, icm_paths, scores, taxonomy=None) -> None:
+    """Best-hit table (results.01.phymm_*.txt). ``taxonomy`` maps strain ->
+    (genus, family, order, class, phylum); unknown ranks are left blank."""
+    best = np.argmax(scores, axis=1)
+    with open(path, "w") as fh:
+        fh.write("QUERY_ID\tBEST_MATCH\tSCORE\tGENUS\tFAMILY\tORDER\tCLASS\tPHYLUM\n")
+        for i, rid in enumerate(read_ids):
+            genome = path_to_genome(icm_paths[best[i]])
+            strain = genome.split("|")[0]
+            ranks = (taxonomy or {}).get(strain, ("", "", "", "", ""))
+            fh.write(
+                "%s\t%s\t%.4f\t%s\n"
+                % (rid, strain, scores[i, best[i]], "\t".join(ranks))
+            )
+
+
+def classify_file(sequence_file, icm_dir, out_dir=".", taxonomy=None,
+                  batch: int = 512):
+    """Full classification step: score + write raw matrix + results table.
+
+    Returns (icm_paths, read_ids, scores).
+    """
+    from ..io.fasta import read_fasta
+
+    recs = list(read_fasta(sequence_file))
+    read_ids = [h.split()[0] for h, _ in recs]
+    bank = PhymmBank.from_genome_data(icm_dir)
+    scores = bank.score_reads([s.lower() for _, s in recs], batch=batch)
+    write_raw_phymm_output(
+        os.path.join(out_dir, raw_phymm_name(sequence_file)),
+        bank.paths, read_ids, scores,
+    )
+    write_results_table(
+        os.path.join(out_dir, results_name(sequence_file)),
+        read_ids, bank.paths, scores, taxonomy,
+    )
+    return bank.paths, read_ids, scores

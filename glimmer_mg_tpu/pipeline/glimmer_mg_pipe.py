@@ -1,0 +1,330 @@
+"""Full glimmer-mg metagenomics pipeline (reference scripts/glimmer-mg.py).
+
+Stages: Phymm-style classification (TPU bank scoring) -> top-k class
+parsing with the informative-genome filter -> initial per-read prediction
+(classification-parameterized models) -> Scimm-style clustering ->
+per-cluster retraining + reprediction -> cluster-vs-classification
+arbitration. Artifacts use the reference formats, and each stage can resume
+from files (--raw/--class/--clust equivalents).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ..engine import glimmer_mg as mg
+from ..io.fasta import read_fasta, write_fasta
+from ..io.genome_data import GenomeData, parse_classes
+from ..parallel import phymm
+from . import scimm, train_features as tf
+
+MIN_GENE_BP = 80000
+MIN_CLUST_PHYMM_RATIO = -0.013
+
+
+def informative_genomes(icm_dir: str, min_adj: float = 7.0) -> set[str]:
+    """informative_genomes.py: genomes with a trained .gicm and >= min_adj
+    adjacency observations in both mixed-orientation gene distance files."""
+    out = set()
+    for gicm in glob.glob(os.path.join(icm_dir, "*", "*.gicm")):
+        pre = gicm[: -len(".gicm")]
+        ok = True
+        for sfx in (".adj_dist.1.-1.genes.txt", ".adj_dist.-1.1.genes.txt"):
+            try:
+                adjs = sum(float(l.split()[1]) for l in open(pre + sfx) if l.split())
+            except OSError:
+                adjs = 0.0
+            if adjs < min_adj:
+                ok = False
+        if ok:
+            strain, nc = pre.split("/")[-2:]
+            out.add(f"{strain}|{nc}")
+    return out
+
+
+def score_insert(score_list, score, g):
+    """glimmer-mg.py:665 score_insert: sorted top-k (score, genome) list."""
+    for i in range(len(score_list)):
+        if score_list[i] == "":
+            score_list[i] = (score, g)
+            return
+    insert_point = 0
+    while insert_point < len(score_list):
+        if score > score_list[insert_point][0]:
+            break
+        insert_point += 1
+    if insert_point == len(score_list):
+        return
+    for i in range(len(score_list) - 1, insert_point, -1):
+        score_list[i] = score_list[i - 1]
+    score_list[insert_point] = (score, g)
+
+
+def parse_phymm(raw_file, informative: set[str], top_hits: int = 3):
+    """glimmer-mg.py:533 parse_phymm: per-read top-k informative genomes.
+
+    Returns (sequence_classes {read: [genome,...]}, top_scores {read: s}).
+    """
+    icm_paths, read_ids, scores = phymm.read_raw_phymm_output(raw_file)
+    genomes = [phymm.path_to_genome(p) for p in icm_paths]
+    tops = [[""] * top_hits for _ in read_ids]
+    for g, genome in enumerate(genomes):
+        if genome in informative:
+            col = scores[:, g]
+            for s in range(len(read_ids)):
+                score_insert(tops[s], float(col[s]), g)
+    sequence_classes = {}
+    top_scores = {}
+    for s, rid in enumerate(read_ids):
+        top_scores[rid] = tops[s][0][0] if tops[s][0] != "" else -np.inf
+        sequence_classes[rid] = [genomes[t[1]] for t in tops[s] if t != ""]
+    return sequence_classes, top_scores
+
+
+def _predict_to_text(results) -> str:
+    return mg.format_predict_mg(results)
+
+
+def _per_read(text: str) -> dict[str, list[str]]:
+    out = {}
+    cur = None
+    for line in text.splitlines():
+        if line.startswith(">"):
+            cur = line[1:]
+            out[cur] = []
+        elif cur is not None:
+            out[cur].append(line)
+    return out
+
+
+def filter_predictions(predict_text: str, filter_t: float) -> str:
+    """glimmer-mg.py:397: keep rows with score > filter_t."""
+    out = []
+    for line in predict_text.splitlines():
+        if line.startswith(">"):
+            out.append(line)
+        else:
+            a = line.split()
+            if a and float(a[4]) > filter_t:
+                out.append(line)
+    return "\n".join(out) + "\n"
+
+
+def keep_start_features_only(features_text: str) -> str:
+    """glimmer-mg.py retrain: keep only DIST START blocks (default mode)."""
+    out = []
+    printing = False
+    for line in features_text.splitlines():
+        if line.startswith("DIST START"):
+            printing = True
+        elif line.startswith("DIST"):
+            printing = False
+        if printing:
+            out.append(line)
+    return "\n".join(out) + "\n"
+
+
+def repredict(reads, genome_data, classes, out_prefix, *, filter_t=1.0,
+              all_features=False, indels=False, subs=False, qualities=None,
+              initial_text=None, fudge=None):
+    """glimmer-mg.py:613 repredict (one iteration): retrain from the
+    previous predictions, then predict with the new models."""
+    prev = f"{out_prefix}.run1"
+    seqs = dict(reads)
+    filt = filter_predictions(initial_text, filter_t)
+    with open(f"{prev}.fpredict", "w") as fh:
+        fh.write(filt)
+    tf.train_features(filt, seqs, prev)
+    if not all_features:
+        feats = keep_start_features_only(open(f"{prev}.features.txt").read())
+        with open(f"{prev}.features.txt", "w") as fh:
+            fh.write(feats)
+
+    from ..models import features as feat, icm as icm_mod
+
+    gicm_path = f"{prev}.gicm"
+    if not os.path.exists(gicm_path):
+        return None  # too little training data; caller keeps initial
+    gicm = icm_mod.read_icm(gicm_path)
+    rbs = feat.PWM.read(f"{prev}.motif")
+    rbs.counts_to_prob()
+    rbs.probs_to_logs()
+    res = list(
+        mg.run_glimmer_mg_classes(
+            reads, genome_data, classes,
+            user_icm=gicm, user_rbs_pwm=rbs,
+            features_path=f"{prev}.features.txt",
+            qualities=qualities, allow_indels=indels, allow_subs=subs,
+            logodds_fudge=fudge,
+        )
+    )
+    text = _predict_to_text(res)
+    with open(f"{out_prefix}.predict", "w") as fh:
+        fh.write(text)
+    return text
+
+
+def combine_predictions(init_text, clust_text, clust_reads, cluster_scores,
+                        top_scores, read_lengths, gene_bp):
+    """glimmer-mg.py:310 combine_predictions for one cluster.
+
+    Returns final text for the cluster's reads.
+    """
+    init_preds = _per_read(init_text)
+    if gene_bp < MIN_GENE_BP or clust_text is None:
+        out = []
+        for h in clust_reads:
+            out.append(f">{h}")
+            out.extend(init_preds.get(h, []))
+        return "\n".join(out) + "\n"
+
+    clust_preds = _per_read(clust_text)
+    out = []
+    headers = set(list(clust_preds) + list(init_preds))
+    for header in headers:
+        prefix = header.split()[0]
+        ratio = (cluster_scores[prefix] - top_scores[prefix]) / read_lengths[header]
+        out.append(f">{header}")
+        if ratio < MIN_CLUST_PHYMM_RATIO:
+            out.extend(init_preds.get(header, []))
+        else:
+            out.extend(clust_preds.get(header, []))
+    return "\n".join(out) + "\n"
+
+
+def run_pipeline(
+    sequence_file: str,
+    icm_dir: str,
+    out_prefix: str | None = None,
+    *,
+    top_hits: int = 3,
+    iterate: int = 1,
+    filter_t: float = 1.0,
+    all_features: bool = False,
+    indels: bool = False,
+    subs: bool = False,
+    quality_file: str | None = None,
+    fudge: float | None = None,
+    taxonomy: dict | None = None,
+    minbp_pct: float = 0.01,
+    workdir: str = ".",
+    raw_done: bool = False,
+    class_done: bool = False,
+    clust_done: bool = False,
+):
+    """Full pipeline; returns the final .predict path."""
+    os.makedirs(workdir, exist_ok=True)
+    cwd = os.getcwd()
+    if out_prefix is None:
+        out_prefix = os.path.splitext(os.path.basename(sequence_file))[0]
+    reads = list(read_fasta(sequence_file))
+    read_ids = [h.split()[0] for h, _ in reads]
+    raw_file = os.path.join(workdir, phymm.raw_phymm_name(sequence_file))
+    results_file = os.path.join(workdir, phymm.results_name(sequence_file))
+    class_file = os.path.join(workdir, f"{out_prefix}.class.txt")
+
+    qualities = None
+    if quality_file:
+        from ..io.fasta import read_qual
+
+        qualities = {h.split()[0]: q for h, q in read_qual(quality_file)}
+
+    # 1. classify (resume: --raw)
+    if not raw_done and not class_done:
+        phymm.classify_file(sequence_file, icm_dir, out_dir=workdir,
+                            taxonomy=taxonomy)
+
+    # 2. parse classifications (resume: --class)
+    if not class_done:
+        informative = informative_genomes(icm_dir)
+        classes, top_scores = parse_phymm(raw_file, informative, top_hits)
+        with open(class_file, "w") as fh:
+            for rid in classes:
+                fh.write("%s\t%s\n" % (rid, " ".join(classes[rid])))
+    else:
+        classes = parse_classes(class_file)
+        _, _, scores = phymm.read_raw_phymm_output(raw_file)
+        icm_paths, rids, scores = phymm.read_raw_phymm_output(raw_file)
+        top_scores = dict(zip(rids, scores.max(axis=1)))
+
+    gd = GenomeData(icm_dir)
+
+    # 3. initial predictions
+    run1 = os.path.join(workdir, f"{out_prefix}.run1")
+    init_res = list(
+        mg.run_glimmer_mg_classes(
+            reads, gd, classes, qualities=qualities,
+            allow_indels=indels, allow_subs=subs, logodds_fudge=fudge,
+        )
+    )
+    init_text = _predict_to_text(init_res)
+    with open(f"{run1}.predict", "w") as fh:
+        fh.write(init_text)
+
+    if iterate == 0:
+        final = os.path.join(workdir, f"{out_prefix}.predict")
+        with open(final, "w") as fh:
+            fh.write(init_text)
+        return final
+
+    # 4. clustering (resume: --clust)
+    seqs = [s for _, s in reads]
+    if not clust_done:
+        read_lengths_arr = np.array([len(s) for s in seqs])
+        assign, names = scimm.init_clusters_from_results(
+            results_file, read_ids, taxonomy, minbp_pct=minbp_pct,
+            read_lengths=read_lengths_arr,
+        )
+        assign, icms, cscores = scimm.scimm_cluster(seqs, assign, len(names))
+        scimm.write_cluster_artifacts(workdir, reads, assign, icms, cscores)
+
+    # 5. per-cluster reprediction + arbitration
+    init_per_read = _per_read(init_text)
+    final_path = os.path.join(workdir, f"{out_prefix}.predict")
+    read_lengths = {h: len(s) for h, s in reads}
+    with open(final_path, "w") as out_fh:
+        for cfa in sorted(glob.glob(os.path.join(workdir, "cluster-*.fa"))):
+            cluster = int(os.path.basename(cfa).split("-")[1].split(".")[0])
+            c_reads = list(read_fasta(cfa))
+            c_headers = [h for h, _ in c_reads]
+            c_prefix = os.path.join(
+                workdir, f"{out_prefix}.cluster-{cluster}"
+            )
+            c_init = []
+            for h in c_headers:
+                c_init.append(f">{h}")
+                c_init.extend(init_per_read.get(h, []))
+            c_init_text = "\n".join(c_init) + "\n"
+            n_predictions = sum(
+                1 for l in c_init_text.splitlines() if l and not l.startswith(">")
+            )
+            clust_text = None
+            gene_bp = 0
+            if n_predictions > 10:
+                clust_text = repredict(
+                    c_reads, gd, classes, c_prefix,
+                    filter_t=filter_t, all_features=all_features,
+                    indels=indels, subs=subs, qualities=qualities, fudge=fudge,
+                    initial_text=c_init_text,
+                )
+                gf = f"{c_prefix}.run1.gene.fasta"
+                if os.path.exists(gf):
+                    gene_bp = sum(
+                        len(s) for h, s in read_fasta(gf)
+                    )
+            cscores_file = os.path.join(workdir, f"icm-{cluster}.scores.tmp")
+            cluster_scores = {}
+            with open(cscores_file) as fh:
+                for line in fh:
+                    h, sc = line.split("\t")
+                    cluster_scores[h.rstrip()] = float(sc)
+            out_fh.write(
+                combine_predictions(
+                    c_init_text, clust_text, c_headers, cluster_scores,
+                    top_scores, read_lengths, gene_bp,
+                )
+            )
+    return final_path

@@ -1,0 +1,109 @@
+"""Full metagenomics pipeline: DB build -> classify -> cluster -> repredict."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from glimmer_mg_tpu.parallel import phymm
+from glimmer_mg_tpu.pipeline import glimmer_mg_pipe as pipe
+from glimmer_mg_tpu.pipeline import train_all
+from glimmer_mg_tpu.io.fasta import write_fasta, read_fasta
+
+STOPS = {"TAA", "TAG", "TGA"}
+
+
+def _make_genome(rng, gc, n_genes=90):
+    p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+
+    def gene(n):
+        cs = []
+        while len(cs) < n:
+            c = "".join(rng.choice(list("ACGT"), 3, p=p))
+            if c not in STOPS:
+                cs.append(c)
+        return "ATG" + "".join(cs) + rng.choice(["TAA", "TAG", "TGA"])
+
+    parts = []
+    for _ in range(n_genes):
+        parts.append("".join(rng.choice(list("ACGT"), int(rng.integers(50, 250)), p=p)))
+        g = gene(int(rng.integers(100, 350)))
+        if rng.random() < 0.5:
+            g = g[::-1].translate(str.maketrans("ACGT", "TGCA"))
+        parts.append(g)
+    return "".join(parts)
+
+
+@pytest.fixture(scope="module")
+def mg_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mgdb")
+    icm_dir = root / "genomeData"
+    rng = np.random.default_rng(11)
+    genomes = {
+        "alpha|chrA": _make_genome(rng, 0.33),
+        "beta|chrB": _make_genome(rng, 0.62),
+    }
+    train_all.train_all(genomes, str(icm_dir), min_icm_bp=2000)
+    train_all.double_icms(str(icm_dir))
+
+    reads = []
+    truth = []
+    keys = list(genomes)
+    for i in range(30):
+        cls = keys[i % 2]
+        seq = genomes[cls]
+        start = int(rng.integers(0, len(seq) - 600))
+        reads.append((f"read{i}", seq[start : start + 600]))
+        truth.append(cls.split("|")[0])
+    write_fasta(root / "reads.fa", reads, width=60)
+    return root, icm_dir, reads, truth
+
+
+def test_train_all_layout(mg_db):
+    root, icm_dir, _, _ = mg_db
+    for cls in ("alpha/chrA", "beta/chrB"):
+        base = icm_dir / cls
+        for sfx in (".icm", ".gicm", ".motif", ".gc.txt", ".lengths.genes.txt",
+                    ".adj_dist.1.1.non.txt", ".gene.fasta"):
+            assert (icm_dir / (cls + sfx)).exists(), cls + sfx
+    # double ICM present
+    assert list(icm_dir.glob("*/*_2/*/*.gicm"))
+
+
+def test_classification_accuracy(mg_db):
+    root, icm_dir, reads, truth = mg_db
+    paths, rids, scores = phymm.classify_file(
+        str(root / "reads.fa"), str(icm_dir), out_dir=str(root)
+    )
+    best = np.argmax(scores, axis=1)
+    got = [phymm.path_to_genome(paths[b]).split("|")[0] for b in best]
+    acc = np.mean([g == t for g, t in zip(got, truth)])
+    assert acc >= 0.9, f"classification accuracy {acc}"
+    # raw file round-trips
+    raw = root / phymm.raw_phymm_name("reads.fa")
+    p2, r2, s2 = phymm.read_raw_phymm_output(raw)
+    assert p2 == paths and r2 == rids
+    np.testing.assert_allclose(s2, scores, atol=5e-5)
+
+
+def test_full_pipeline(mg_db):
+    root, icm_dir, reads, truth = mg_db
+    work = root / "pipe"
+    final = pipe.run_pipeline(
+        str(root / "reads.fa"), str(icm_dir), workdir=str(work)
+    )
+    text = Path(final).read_text()
+    headers = [l[1:] for l in text.splitlines() if l.startswith(">")]
+    assert sorted(headers) == sorted(h for h, _ in reads)
+    n_genes = sum(1 for l in text.splitlines() if l and not l.startswith(">"))
+    assert n_genes > 10
+    # cluster artifacts exist
+    assert list(work.glob("cluster-*.fa"))
+    assert list(work.glob("icm-*.scores.tmp"))
+    # resume from class file: --class equivalent reruns without re-scoring
+    final2 = pipe.run_pipeline(
+        str(root / "reads.fa"), str(icm_dir), workdir=str(work),
+        class_done=True, clust_done=True,
+    )
+    assert Path(final2).exists()
