@@ -263,6 +263,170 @@ def cmd_g3_iterated(argv):
     run_g3_iterated(a.genome, a.tag, quirk_compat=not a.no_quirk)
 
 
+def cmd_anomaly(argv):
+    p = argparse.ArgumentParser(prog="anomaly")
+    p.add_argument("sequence_file")
+    p.add_argument("coords")
+    p.add_argument("-s", "--no_check_start", action="store_true")
+    p.add_argument("-p", "--check_previous_stop", action="store_true")
+    a = p.parse_args(argv)
+    from .io.fasta import read_fasta
+    from .pipeline.util_tools import anomaly
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    lines, ok_ct, prob_ct = anomaly(
+        seq, open(a.coords).read(),
+        check_start=not a.no_check_start,
+        check_previous_stop=a.check_previous_stop,
+    )
+    for line in lines:
+        print(line)
+    print("     OK orfs = %7d" % ok_ct, file=sys.stderr)
+    print("Problem orfs = %7d" % prob_ct, file=sys.stderr)
+
+
+def cmd_uncovered(argv):
+    p = argparse.ArgumentParser(prog="uncovered")
+    p.add_argument("sequence_file")
+    p.add_argument("coords")
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    p.add_argument("-t", "--nostop", action="store_true")
+    p.add_argument("-s", "--nostart", action="store_true")
+    p.add_argument("-w", "--nowrap", action="store_true")
+    a = p.parse_args(argv)
+    from .io.fasta import read_fasta, write_fasta
+    from .pipeline.util_tools import uncovered
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    coords = sys.stdin.read() if a.coords == "-" else open(a.coords).read()
+    write_fasta(sys.stdout, uncovered(
+        seq, coords, is_circular=not a.nowrap, min_len=a.minlen,
+        skip_start=a.nostart, skip_stop=a.nostop), width=60)
+
+
+def cmd_window_acgt(argv):
+    p = argparse.ArgumentParser(prog="window-acgt")
+    p.add_argument("window_len", type=int)
+    p.add_argument("window_skip", type=int)
+    p.add_argument("-p", "--percent", action="store_true")
+    a = p.parse_args(argv)
+    from .pipeline.util_tools import window_acgt
+
+    sys.stdout.write(window_acgt(sys.stdin.read(), a.window_len, a.window_skip,
+                                 percents=a.percent))
+
+
+def cmd_start_codon_distrib(argv):
+    p = argparse.ArgumentParser(prog="start-codon-distrib")
+    p.add_argument("sequence_file")
+    p.add_argument("coords")
+    p.add_argument("-3", "--comma3", dest="comma3", action="store_true")
+    p.add_argument("-w", "--nowrap", action="store_true")
+    a = p.parse_args(argv)
+    from .io.fasta import read_fasta
+    from .pipeline.util_tools import start_codon_distrib
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    coords = sys.stdin.read() if a.coords == "-" else open(a.coords).read()
+    sys.stdout.write(start_codon_distrib(seq, coords, comma3=a.comma3,
+                                         is_circular=not a.nowrap))
+
+
+def cmd_multi_extract(argv):
+    p = argparse.ArgumentParser(prog="multi-extract")
+    p.add_argument("sequence_file")
+    p.add_argument("coords")
+    p.add_argument("-t", "--nostop", action="store_true")
+    p.add_argument("-s", "--nostart", action="store_true")
+    p.add_argument("-w", "--nowrap", action="store_true")
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    p.add_argument("-d", "--dir", action="store_true")
+    a = p.parse_args(argv)
+    from .io.fasta import read_fasta, write_fasta
+    from .pipeline.util_tools import multi_extract
+
+    recs = list(read_fasta(a.sequence_file))
+    coords = sys.stdin.read() if a.coords == "-" else open(a.coords).read()
+    write_fasta(sys.stdout, multi_extract(
+        recs, coords, is_circular=not a.nowrap, min_len=a.minlen,
+        skip_start=a.nostart, skip_stop=a.nostop, use_direction=a.dir),
+        width=60)
+
+
+def cmd_entropy_profile(argv):
+    p = argparse.ArgumentParser(prog="entropy-profile")
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    a = p.parse_args(argv)
+    import io as _io
+
+    from .io.fasta import read_fasta
+    from .pipeline.util_tools import entropy_profile
+
+    text = sys.stdin.read()
+    recs = []
+    header = None
+    chunks: list[str] = []
+    for line in text.splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                recs.append((header, "".join(chunks)))
+            header = line[1:]
+            chunks = []
+        elif header is not None:
+            chunks.append("".join(line.split()))
+    if header is not None:
+        recs.append((header, "".join(chunks)))
+    sys.stdout.write(entropy_profile(recs, min_len=a.minlen))
+
+
+def cmd_classify(argv):
+    p = argparse.ArgumentParser(
+        prog="classify",
+        description="Phymm-equivalent read classification on the TPU bank",
+    )
+    p.add_argument("sequence_file")
+    p.add_argument("icm_dir")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("--batch", type=int, default=512)
+    a = p.parse_args(argv)
+    from .parallel.phymm import classify_file
+
+    classify_file(a.sequence_file, a.icm_dir, out_dir=a.out_dir, batch=a.batch)
+
+
+def cmd_glimmer_mg_pipeline(argv):
+    p = argparse.ArgumentParser(
+        prog="glimmer-mg-pipeline",
+        description="Full metagenomics pipeline (classify/cluster/repredict)",
+    )
+    p.add_argument("sequence_file")
+    p.add_argument("icm_dir")
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("--top_hits", type=int, default=3)
+    p.add_argument("--iterate", type=int, default=1)
+    p.add_argument("--filter_t", type=float, default=1.0)
+    p.add_argument("--all_features", action="store_true")
+    p.add_argument("-i", "--indel", action="store_true")
+    p.add_argument("-s", "--sub", action="store_true")
+    p.add_argument("-q", "--quality", default=None)
+    p.add_argument("-u", "--fudge", type=float, default=None)
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--raw", action="store_true", help="raw Phymm output exists")
+    p.add_argument("--cls", action="store_true", help="class file exists")
+    p.add_argument("--clust", action="store_true", help="clusters exist")
+    a = p.parse_args(argv)
+    from .pipeline.glimmer_mg_pipe import run_pipeline
+
+    final = run_pipeline(
+        a.sequence_file, a.icm_dir, a.out,
+        top_hits=a.top_hits, iterate=a.iterate, filter_t=a.filter_t,
+        all_features=a.all_features, indels=a.indel, subs=a.sub,
+        quality_file=a.quality, fudge=a.fudge, workdir=a.workdir,
+        raw_done=a.raw, class_done=a.cls, clust_done=a.clust,
+    )
+    print(final)
+
+
 COMMANDS = {
     "build-icm": cmd_build_icm,
     "glimmer3": cmd_glimmer3,
@@ -271,6 +435,14 @@ COMMANDS = {
     "extract": cmd_extract,
     "train-features": cmd_train_features,
     "g3-iterated": cmd_g3_iterated,
+    "anomaly": cmd_anomaly,
+    "uncovered": cmd_uncovered,
+    "window-acgt": cmd_window_acgt,
+    "start-codon-distrib": cmd_start_codon_distrib,
+    "multi-extract": cmd_multi_extract,
+    "entropy-profile": cmd_entropy_profile,
+    "classify": cmd_classify,
+    "glimmer-mg-pipeline": cmd_glimmer_mg_pipeline,
 }
 
 
