@@ -443,7 +443,97 @@ COMMANDS = {
     "entropy-profile": cmd_entropy_profile,
     "classify": cmd_classify,
     "glimmer-mg-pipeline": cmd_glimmer_mg_pipeline,
+    "build-fixed": None,  # replaced below
+    "score-fixed": None,
 }
+
+
+def cmd_build_fixed(argv):
+    p = argparse.ArgumentParser(prog="build-fixed")
+    p.add_argument("output", nargs="?", default="-")
+    p.add_argument("-d", "--depth", type=int, default=7)
+    p.add_argument("-s", "--special", type=int, default=-1)
+    p.add_argument("-p", "--permutation", default=None)
+    a = p.parse_args(argv)
+    from .models import dna, fixed_icm
+
+    recs = []
+    header = None
+    chunks: list[str] = []
+    for line in sys.stdin.read().splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                recs.append("".join(chunks))
+            header = line
+            chunks = []
+        elif header is not None:
+            chunks.append("".join(line.split()))
+    if header is not None:
+        recs.append("".join(chunks))
+    perm = [int(x) for x in a.permutation.split(",")] if a.permutation else None
+    fm = fixed_icm.train_fixed_icm(
+        [dna.encode(s.lower()) for s in recs], max_depth=a.depth,
+        special_position=a.special, permutation=perm,
+    )
+    out = "/dev/stdout" if a.output == "-" else a.output
+    fixed_icm.write_fixed_icm(fm, out)
+
+
+def cmd_score_fixed(argv):
+    p = argparse.ArgumentParser(prog="score-fixed")
+    p.add_argument("pos_model")
+    p.add_argument("neg_model", nargs="?", default=None)
+    p.add_argument("-N", "--null_neg", action="store_true")
+    p.add_argument("-I", "--icm_neg", action="store_true")
+    p.add_argument("-s", "--simple", action="store_true")
+    a = p.parse_args(argv)
+    from .models import dna, fixed_icm, icm as icm_mod
+
+    fm = fixed_icm.read_fixed_icm(a.pos_model)
+    neg_icm = neg_fixed = None
+    if not a.null_neg:
+        if a.icm_neg:
+            neg_icm = icm_mod.read_icm(a.neg_model)
+        else:
+            neg_fixed = fixed_icm.read_fixed_icm(a.neg_model)
+    num = 0
+    header = None
+    chunks: list[str] = []
+
+    def emit(s):
+        nonlocal num
+        num += 1
+        idx = dna.encode(s.lower())
+        ps = fm.score_window(idx)
+        if a.null_neg:
+            ns = 0.0
+        elif neg_icm is not None:
+            ns = icm_mod.score_string(neg_icm, idx, 1)
+        else:
+            ns = neg_fixed.score_window(idx)
+        ln = len(s)
+        if a.simple:
+            sys.stdout.write("%6d %3d\n" % (num - 1, 1 if ps >= ns else -1))
+        else:
+            sys.stdout.write(
+                "%5d:  %10.4f %9.5f   %10.4f %9.5f   %9.5f\n"
+                % (num, ps, ps / ln, ns, ns / ln, ps / ln - ns / ln)
+            )
+
+    for line in sys.stdin.read().splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                emit("".join(chunks))
+            header = line
+            chunks = []
+        elif header is not None:
+            chunks.append("".join(line.split()))
+    if header is not None:
+        emit("".join(chunks))
+
+
+COMMANDS["build-fixed"] = cmd_build_fixed
+COMMANDS["score-fixed"] = cmd_score_fixed
 
 
 def main(argv=None):

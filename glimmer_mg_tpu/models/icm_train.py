@@ -197,10 +197,12 @@ def train_icm(
         counts = np.zeros((p, 4), dtype=np.int64)
         np.add.at(counts, (frame, last), 1)
         sums = counts.sum(axis=-1)
-        icm.probs[:, 0, :] = (
-            (counts + np.float32(PSEUDO_COUNT / 4)).astype(np.float32)
-            / (sums[:, None] + PSEUDO_COUNT).astype(np.float32)
-        ).astype(np.float32)
+        # icm.cc:1390-1392: float numerator, DOUBLE denominator (no float
+        # cast there, unlike the depth>0 branch), double division, f32 store.
+        num = (counts.astype(np.float32) + np.float32(PSEUDO_COUNT / 4)).astype(
+            np.float64
+        )
+        icm.probs[:, 0, :] = (num / (sums[:, None] + PSEUDO_COUNT)).astype(np.float32)
         icm.mip[:, 0] = -1
         _take_logs(icm)
         return icm
