@@ -234,6 +234,11 @@ class EventEngine:
 
         std_sort(ep_list, lambda a, b: a.pos < b.pos)
 
+        if getattr(self.m, "circular", False):
+            reference_pos = self._find_uncovered_position(ep_list)
+            if reference_pos > 0:
+                self._shift_events(ep_list, reference_pos)
+
         for ev in ep_list:
             if ev.e_type == INITIAL:
                 self._process_initial(ev)
@@ -241,6 +246,71 @@ class EventEngine:
                 self._process_fwd_start_rev_stop(ev)
             else:
                 self._process_fwd_stop_rev_start(ev)
+
+    def _find_uncovered_position(self, ep_list) -> int:
+        """Find_Uncovered_Position (glimmer_base.cc:556-634)."""
+        n = len(ep_list)
+        if n <= 1:
+            return 0
+        first_pos = ep_list[1].pos - 3
+        last_pos = ep_list[n - 1].pos - self.sequence_len
+        if last_pos <= first_pos:
+            return 0
+        cover_ct = 0
+        zero_pos = ep_list[n - 1].pos
+        for i in range(1, n):
+            t = ep_list[i].e_type
+            if t == FWD_START:
+                if ep_list[i].is_first_start:
+                    cover_ct += 1
+                    if cover_ct == 1 and 3 <= ep_list[i].pos - zero_pos:
+                        return zero_pos
+            elif t == FWD_STOP:
+                cover_ct -= 1
+                if cover_ct == 0:
+                    zero_pos = ep_list[i].pos
+            elif t == REV_START:
+                if ep_list[i].is_first_start:
+                    cover_ct -= 1
+                    if cover_ct == 0:
+                        zero_pos = ep_list[i].pos
+            elif t == REV_STOP:
+                cover_ct += 1
+                if cover_ct == 1 and 3 <= ep_list[i].pos - zero_pos:
+                    return zero_pos
+            else:
+                raise RuntimeError(f"unexpected event type {t}")
+        return 0
+
+    def _shift_events(self, ep_list, reference_pos: int) -> None:
+        """Shift_Events (glimmer_base.cc:2711-2760): rotate events before
+        reference_pos to the back (+Sequence_Len) and relink frame chains."""
+        from ..utils.stdsort import std_sort
+
+        n = len(ep_list)
+        if n <= 1:
+            return
+        frame_last = list(self.last_event)
+        q = n - 1
+        while q > 0 and reference_pos < ep_list[q].pos:
+            f = frame_to_sub(ep_list[q].frame)
+            frame_last[f] = ep_list[q]
+            q -= 1
+        for f in range(6):
+            if reference_pos < frame_last[f].pos:
+                frame_last[f].frame_pred = ep_list[0]
+            else:
+                self.last_event[f] = ep_list[0]
+        for i in range(1, q + 1):
+            ev = ep_list[i]
+            ev.pos += self.sequence_len
+            # Set_Frame_From_Pos (glimmer_base.cc:2916)
+            fabs = 1 + (ev.pos % 3)
+            ev.frame = fabs if ev.frame > 0 else -fabs
+            f = frame_to_sub(ev.frame)
+            ev.frame_pred = self.last_event[f]
+            self.last_event[f] = ev
+        std_sort(ep_list, lambda a, b: a.pos < b.pos)
 
     def _process_initial(self, ev: Event) -> None:
         for i in range(6):

@@ -62,6 +62,7 @@ class Models:
     ignore_score_len: int = INT_MAX
     use_first_start_codon: bool = False
     allow_truncated_orfs: bool = False
+    circular: bool = False
     indep_gc_frac: float = 0.5
 
 

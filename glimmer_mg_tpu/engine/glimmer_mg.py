@@ -415,6 +415,7 @@ def predict_read(models: Models, seq: str, quals=None, *, allow_indels=False,
         allow_truncated=models.allow_truncated_orfs,
         allow_indel_orfs=allow_indels or allow_subs,
         min_indel_orf_len=MIN_INDEL_ORF_LEN,
+        circular=models.circular,
     )
     state = MgSequenceState(models, seq_idx)
     scorer = MgScorer(models, seq_str, seq_idx, state, quals,
@@ -595,6 +596,7 @@ def run_glimmer_mg_classes(
                 min_gene_len=min_gene_len,
                 max_olap_bases=max_olap_bases,
                 allow_truncated_orfs=not circular,
+                circular=circular,
             )
             models.ignore_score_len = set_ignore_score_len(gc, patterns.stop_codons)
             num = np.float32(len(classes))
@@ -703,6 +705,7 @@ def _predict_read_with_models(models, seq, quals=None, *, allow_indels=False,
         allow_truncated=models.allow_truncated_orfs,
         allow_indel_orfs=allow_indels or allow_subs,
         min_indel_orf_len=MIN_INDEL_ORF_LEN,
+        circular=models.circular,
     )
     state = MgSequenceState(models, seq_idx)
     scorer = MgScorer(models, seq_str, seq_idx, state, quals,
@@ -757,6 +760,7 @@ def run_glimmer_mg(
         min_gene_len=min_gene_len,
         max_olap_bases=max_olap_bases,
         allow_truncated_orfs=not circular,
+        circular=circular,
     )
     models.logodds_prior = np.float32(-1.0)
     if logodds_fudge is not None:

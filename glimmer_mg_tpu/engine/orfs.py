@@ -73,6 +73,49 @@ def scan_codons(masks: np.ndarray, pat: CodonPatterns):
     )
 
 
+def _wrap_through_front(n, fr, pos, dbl_cod, pat):
+    """glimmer_base.cc:2834 Wrap_Through_Front (same as long-orfs')."""
+    s = (pos - 1) % 3
+    check_len = n + s - pos - 4
+    start_at = -1
+    i = 0
+    while i < check_len:
+        first = s - 3
+        j = (first + 2) % n + n  # last-base index in the doubled stream
+        cod = dbl_cod[j]
+        if dna.must_be(np.array([cod]), pat.fwd_stop)[0]:
+            break
+        if dna.can_be(np.array([cod]), pat.fwd_start)[0]:
+            start_at = i + 3
+        s = first
+        i += 3
+    orf_len = i + 3 * ((pos - 1) // 3)
+    gene_len = 0 if start_at == -1 else start_at + 3 * ((pos - 1) // 3)
+    return gene_len, orf_len
+
+
+def _wrap_around_back(n, wfr, pos, dbl_cod, pat):
+    """glimmer_base.cc:2770 Wrap_Around_Back."""
+    assert pos > 0
+    check_len = pos - 1
+    start_at = -1
+    orf_add = 0
+    i = wfr
+    while i < check_len:
+        cod = dbl_cod[i] if i >= 2 else 0
+        if i >= 2 and dna.must_be(np.array([cod]), pat.rev_stop)[0]:
+            orf_add = i - 2
+            break
+        orf_add = i + 1
+        if i >= 2 and dna.can_be(np.array([cod]), pat.rev_start)[0]:
+            start_at = i + 1
+        i += 3
+    orf_len = orf_add + n - pos - 2
+    orf_len -= orf_len % 3
+    gene_len = 0 if start_at == -1 else start_at + n - pos - 2
+    return gene_len, orf_len
+
+
 def find_orfs(
     masks: np.ndarray,
     pat: CodonPatterns,
@@ -82,15 +125,21 @@ def find_orfs(
     min_indel_orf_len: int = 15,
     circular: bool = False,
 ) -> list[Orf]:
-    if circular:
-        raise NotImplementedError("circular genomes: pending milestone")
     n = len(masks)
     orfs: list[Orf] = []
     if n < min_gene_len:
         return orfs
 
-    fwd_start, rev_start, fwd_stop, rev_stop = scan_codons(masks, pat)
-    idx = np.arange(n)
+    if circular:
+        # 2-base overhang catches codons spanning the origin
+        ext = np.concatenate([masks, masks[:2]])
+        dbl_cod = dna.codon12_stream(np.concatenate([masks, masks]))
+    else:
+        ext = masks
+        dbl_cod = None
+    fwd_start, rev_start, fwd_stop, rev_stop = scan_codons(ext, pat)
+    n_loop = len(ext)
+    idx = np.arange(n_loop)
     fstarts = [idx[fwd_start & ((idx % 3) == f)].tolist() for f in range(3)]
     rstarts = [idx[rev_start & ((idx % 3) == f)].tolist() for f in range(3)]
 
@@ -126,12 +175,18 @@ def find_orfs(
         pos = i - 1
         start_pos = first_fwd_start_after(f, prev_fwd_stop[f] + 1, i)
         if prev_fwd_stop[f] == 0:
-            # Handle_First_Forward_Stop, linear (glimmer_base.cc:946-974)
-            orf_len = pos - 1
-            orf_len -= orf_len % 3
-            gene_len = 0 if start_pos == INT_MAX else pos - start_pos
-            if allow_truncated and gene_len < min_gene_len:
-                gene_len = orf_len
+            if circular:
+                # Handle_First_Forward_Stop wraparound (glimmer_base.cc:946)
+                gene_len, orf_len = _wrap_through_front(n, f, pos, dbl_cod, pat)
+                if gene_len == 0 and start_pos != INT_MAX:
+                    gene_len = pos - start_pos
+            else:
+                # Handle_First_Forward_Stop, linear (glimmer_base.cc:946-974)
+                orf_len = pos - 1
+                orf_len -= orf_len % 3
+                gene_len = 0 if start_pos == INT_MAX else pos - start_pos
+                if allow_truncated and gene_len < min_gene_len:
+                    gene_len = orf_len
         else:
             gene_len = 0 if start_pos == INT_MAX else pos - start_pos
             orf_len = pos - prev_fwd_stop[f] - 3
@@ -174,13 +229,26 @@ def find_orfs(
             orf_stop = (-1, 0, -2)[f]
         else:
             orf_stop = prev_rev_stop[f]
-        # Handle_Last_Reverse_Stop, linear branch (glimmer_base.cc:1045-1055)
-        orf_len = n - orf_stop - 2
-        orf_len -= orf_len % 3
-        last_start = last_rev_start_between(f, (prev_rev_stop[f] + 1) if prev_rev_stop[f] else -1, n)
-        gene_len = 0 if last_start == 0 else last_start - orf_stop
-        if allow_truncated and gene_len < min_gene_len:
-            gene_len = orf_len
+        if circular:
+            # Handle_Last_Reverse_Stop wraparound branch (glimmer_base.cc:1030)
+            wrap_fr = (3 + f - (n % 3)) % 3
+            gene_len, orf_len = _wrap_around_back(
+                n, wrap_fr, prev_rev_stop[f], dbl_cod, pat
+            )
+            if gene_len == 0:
+                last_start = last_rev_start_between(
+                    f, (prev_rev_stop[f] + 1) if prev_rev_stop[f] else -1, n_loop + 1
+                )
+                if last_start > 0:
+                    gene_len = last_start - prev_rev_stop[f]
+        else:
+            # Handle_Last_Reverse_Stop, linear branch (glimmer_base.cc:1045)
+            orf_len = n - orf_stop - 2
+            orf_len -= orf_len % 3
+            last_start = last_rev_start_between(f, (prev_rev_stop[f] + 1) if prev_rev_stop[f] else -1, n)
+            gene_len = 0 if last_start == 0 else last_start - orf_stop
+            if allow_truncated and gene_len < min_gene_len:
+                gene_len = orf_len
         if gene_len >= min_gene_len or (keep_len and orf_len >= min_indel_orf_len):
             orfs.append(Orf(orf_stop, -1 - (f + 1) % 3, gene_len, orf_len))
 
