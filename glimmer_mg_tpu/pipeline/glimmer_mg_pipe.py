@@ -137,7 +137,7 @@ def repredict(reads, genome_data, classes, out_prefix, *, filter_t=1.0,
     filt = filter_predictions(initial_text, filter_t)
     with open(f"{prev}.fpredict", "w") as fh:
         fh.write(filt)
-    tf.train_features(filt, seqs, prev)
+    tf.train_features(filt, seqs, prev, indels=indels)
     if not all_features:
         feats = keep_start_features_only(open(f"{prev}.features.txt").read())
         with open(f"{prev}.features.txt", "w") as fh:

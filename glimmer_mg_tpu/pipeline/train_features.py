@@ -384,6 +384,7 @@ def train_features(
     min_icm_bp: int = 0,
     mycoplasma: bool = False,
     write_featurefile: bool = True,
+    indels: bool = False,
 ):
     """Full -f pipeline: .features.txt + .motif + .gene.fasta + .gicm."""
     global FORWARD_STOPS
@@ -415,6 +416,14 @@ def train_features(
             fh.write(motif_text)
 
         # gene ICM
+        if indels:
+            # frame-corrected extraction (train_features.py:787 + extract_aa)
+            from .extract_aa import build_icm_indels
+
+            build_icm_indels(list(seqs.items()), predict_text, out_prefix,
+                             min_icm_bp=min_icm_bp)
+            return gene_stats, nongene_stats
+
         from ..io.fasta import write_fasta
         from ..models import dna, icm as icm_mod, icm_train
 
