@@ -532,8 +532,51 @@ def cmd_score_fixed(argv):
         emit("".join(chunks))
 
 
+def cmd_entropy_score(argv):
+    p = argparse.ArgumentParser(prog="entropy-score")
+    p.add_argument("sequence_file")
+    p.add_argument("coords")
+    p.add_argument("-s", "--nostart", action="store_true")
+    p.add_argument("-t", "--nostop", action="store_true")
+    p.add_argument("-w", "--nowrap", action="store_true")
+    p.add_argument("-l", "--minlen", type=int, default=0)
+    a = p.parse_args(argv)
+    from .io.fasta import read_fasta
+    from .pipeline.util_tools import entropy_score
+
+    _, seq = next(iter(read_fasta(a.sequence_file)))
+    coords = sys.stdin.read() if a.coords == "-" else open(a.coords).read()
+    sys.stdout.write(entropy_score(seq, coords, is_circular=not a.nowrap,
+                                   min_len=a.minlen, skip_start=a.nostart,
+                                   skip_stop=a.nostop))
+
+
+def cmd_entropy_fasta(argv):
+    argparse.ArgumentParser(prog="entropy-fasta").parse_args(argv)
+    from .io.fasta import read_fasta
+    from .pipeline.util_tools import entropy_fasta
+    import io as _io, tempfile
+
+    recs = []
+    header = None
+    chunks: list[str] = []
+    for line in sys.stdin.read().splitlines():
+        if line.startswith(">"):
+            if header is not None:
+                recs.append((header, "".join(chunks)))
+            header = line[1:]
+            chunks = []
+        elif header is not None:
+            chunks.append("".join(line.split()))
+    if header is not None:
+        recs.append((header, "".join(chunks)))
+    sys.stdout.write(entropy_fasta(recs))
+
+
 COMMANDS["build-fixed"] = cmd_build_fixed
 COMMANDS["score-fixed"] = cmd_score_fixed
+COMMANDS["entropy-score"] = cmd_entropy_score
+COMMANDS["entropy-fasta"] = cmd_entropy_fasta
 
 
 def main(argv=None):

@@ -432,6 +432,78 @@ def multi_extract(seq_records, coords_text: str, *, is_circular=True,
 
 
 # ---------------------------------------------------------------------------
+# entropy-score / entropy-fasta
+# ---------------------------------------------------------------------------
+
+
+def _entropy_ratio_of(base_idx) -> float:
+    aa = translate.translate_codons(base_idx)
+    return translate.entropy_distance_ratio(aa)
+
+
+def entropy_score(seq: str, coords_text: str, *, is_circular=True, min_len=0,
+                  skip_start=False, skip_stop=False, use_direction=False) -> str:
+    """Entropy-distance ratio per coordinate-list region (entropy-score.cc)."""
+    from .extract import _direction
+
+    n = len(seq)
+    idx_all = dna.encode(seq)
+    out = []
+    for line in coords_text.splitlines():
+        toks = line.split()
+        if use_direction:
+            if len(toks) < 4:
+                continue
+            start, end, d = int(toks[1]), int(toks[2]), int(toks[3])
+        else:
+            if len(toks) < 3:
+                continue
+            start, end = int(toks[1]), int(toks[2])
+            d = _direction(start, end, n, is_circular)
+        if d > 0:
+            extract_len = 1 + end - start
+            if extract_len < 0:
+                extract_len += n
+            i = start - 1
+            if skip_start:
+                i += 3
+                extract_len -= 3
+            if skip_stop:
+                extract_len -= 3
+            if extract_len < min_len:
+                continue
+            pos = (i % n + np.arange(extract_len)) % n
+            buff = idx_all[pos]
+        else:
+            extract_len = 1 + start - end
+            if extract_len < 0:
+                extract_len += n
+            i = start - 1
+            if skip_start:
+                i -= 3
+                extract_len -= 3
+            if skip_stop:
+                extract_len -= 3
+            if extract_len < min_len:
+                continue
+            pos = (i % n - np.arange(extract_len)) % n
+            buff = dna.COMPLEMENT_INDEX[idx_all[pos]]
+        out.append("%s \t%5.3f" % (line.rstrip("\n"), _entropy_ratio_of(buff)))
+    return "\n".join(out) + "\n" if out else ""
+
+
+def entropy_fasta(seq_records) -> str:
+    """Annotate fasta records with their entropy ratio (entropy-fasta.cc)."""
+    out = []
+    for header, s in seq_records:
+        if len(s) % 3 != 0:
+            raise ValueError(f"{header} not divisible by 3")
+        ratio = _entropy_ratio_of(dna.encode(s.lower()))
+        out.append(">%s\t%g\n%s" % (header, ratio, s))
+    return "\n".join(out) + "\n" if out else ""
+
+
+# ---------------------------------------------------------------------------
 # entropy-profile
 # ---------------------------------------------------------------------------
 

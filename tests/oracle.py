@@ -40,6 +40,7 @@ _PROGRAMS = {
     "uncovered": ("Util/uncovered.cc", False),
     "window-acgt": ("Util/window-acgt.cc", False),
     "entropy-profile": ("Util/entropy-profile.cc", False),
+    "entropy-fasta": ("Util/entropy-fasta.cc", False),
     "entropy-score": ("Util/entropy-score.cc", False),
     "start-codon-distrib": ("Util/start-codon-distrib.cc", False),
 }

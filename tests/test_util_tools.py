@@ -103,3 +103,17 @@ def test_multi_extract(data, tmp_path):
         buf = io.StringIO()
         write_fasta(buf, ut.multi_extract(recs, mct, **kw), width=60)
         assert buf.getvalue() == want
+
+
+def test_entropy_score(data):
+    root, seq, ct = data
+    want = _run("entropy-score", root / "g.fna", root / "coords.txt")
+    assert ut.entropy_score(seq, ct) == want
+
+
+def test_entropy_fasta(data):
+    root, seq, ct = data
+    genes = "".join(f">gene{i}\n{seq[i*300:(i+1)*300]}\n" for i in range(5))
+    want = _run("entropy-fasta", stdin=genes)
+    recs = [(f"gene{i}", seq[i*300:(i+1)*300]) for i in range(5)]
+    assert ut.entropy_fasta(recs) == want
