@@ -74,6 +74,9 @@ def cmd_glimmer3(argv):
                    help="use first start codon (reference -f behavior)")
     p.add_argument("-A", "--start_codons", default=None)
     p.add_argument("-Z", "--stop_codons", default=None)
+    p.add_argument("-i", "--ignore", default=None, help="ignore-regions file")
+    p.add_argument("-L", "--orf_coords", default=None, help="score ORFs at coords")
+    p.add_argument("-M", "--separate_genes", action="store_true")
     a = p.parse_args(argv)
 
     from .io.fasta import read_fasta
@@ -82,6 +85,30 @@ def cmd_glimmer3(argv):
 
     recs = list(read_fasta(a.sequence_file))
     m = icm_mod.read_icm(a.icm)
+
+    if a.orf_coords or a.separate_genes:
+        from .engine.glimmer3 import Models, gc_fraction, set_ignore_score_len
+        from .engine.orfs import CodonPatterns
+        from .models import dna as dna_mod, icm as _icm
+
+        pat = CodonPatterns.make(
+            a.start_codons.split(",") if a.start_codons else None,
+            a.stop_codons.split(",") if a.stop_codons else None,
+        )
+        gc = (a.gc_percent / 100.0 if a.gc_percent is not None
+              else gc_fraction([s for _, s in recs]))
+        indep = _icm.build_indep_wo_stops(gc, pat.stop_codons)
+        models = Models(gene_icm=m, indep_model=indep, patterns=pat,
+                        indep_gc_frac=gc)
+        with open(a.tag + ".predict", "w") as fh:
+            if a.separate_genes:
+                fh.write(g3.score_separate_input(
+                    models, [(h, s.lower()) for h, s in recs]))
+            else:
+                _, seq = recs[0]
+                fh.write(g3.score_orflist(models, dna_mod.encode(seq),
+                                          open(a.orf_coords).read()))
+        return
     rbs = None
     if a.rbs_pwm:
         rbs = feat.PWM.read(a.rbs_pwm)
@@ -106,6 +133,11 @@ def cmd_glimmer3(argv):
             stop_codons=a.stop_codons.split(",") if a.stop_codons else None,
             rbs_pwm=rbs,
             feature_models=feature_models,
+            ignore_regions=(
+                __import__("glimmer_mg_tpu.engine.orfs", fromlist=["x"])
+                .parse_ignore_regions(open(a.ignore).read())
+                if a.ignore else None
+            ),
         )
     )
     with open(a.tag + ".predict", "w") as fh:

@@ -283,7 +283,7 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
     return gene_ct
 
 
-def predict_sequence(models: Models, seq: str):
+def predict_sequence(models: Models, seq: str, ignore_regions=None):
     """Run the full per-sequence pipeline; returns traced genes."""
     seq_idx = dna.encode(seq)
     masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
@@ -294,6 +294,7 @@ def predict_sequence(models: Models, seq: str):
         models.patterns,
         min_gene_len=models.min_gene_len,
         allow_truncated=models.allow_truncated_orfs,
+        ignore_regions=ignore_regions,
     )
     engine = ev_mod.EventEngine(models, n)
     pwm_scorer = PwmScorer(models, seq_idx)
@@ -316,6 +317,7 @@ def run_glimmer3(
     max_olap_bases: int = 50,
     rbs_pwm: features.PWM | None = None,
     feature_models: dict | None = None,
+    ignore_regions: list | None = None,
 ):
     """glimmer3 main-mode equivalent. Yields (header, [TracedGene])."""
     patterns = orf_mod.CodonPatterns.make(start_codons, stop_codons)
@@ -347,7 +349,71 @@ def run_glimmer3(
             setattr(models, key, val)
 
     for header, seq in sequences:
-        yield header, predict_sequence(models, seq)
+        yield header, predict_sequence(models, seq, ignore_regions)
+
+
+def score_orflist(models: Models, seq_idx: np.ndarray, orflist_text: str) -> str:
+    """glimmer3 -L mode (Score_Orflist, glimmer3.cc:1177): score ORFs at
+    given coordinates; returns the .predict text (no header line)."""
+    n = len(seq_idx)
+    out = []
+    for line in orflist_text.splitlines():
+        stripped = line.lstrip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        toks = line.split()
+        if len(toks) < 4:
+            continue
+        tag, start, stop, d = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+        if d > 0:
+            frame = 1 + (stop % 3)
+            length = 1 + stop - start - 3
+            if length < 0:
+                length += n
+            hi = stop - 3
+            if hi <= 0:
+                hi += n
+            pos = (hi - 1 - np.arange(length)) % n
+            buff = seq_idx[pos]
+        else:
+            frame = -((stop - 1) % 3) - 1
+            length = 1 + start - stop - 3
+            if length < 0:
+                length += n
+            lo = stop + 2
+            if lo >= n:
+                lo -= n
+            pos = (lo + np.arange(length)) % n
+            buff = dna.COMPLEMENT_INDEX[seq_idx[pos]]
+        gene_pb = icm_mod.per_base_logprob_vec(models.gene_icm, buff, 1, cycle=True)
+        indep_pb = icm_mod.per_base_logprob_vec(models.indep_model, buff, 1, cycle=True)
+        score = np.cumsum(gene_pb.astype(np.float64))
+        indep = np.cumsum(indep_pb.astype(np.float64))
+        m = len(score)
+        gene_score = 100.0 * (score[m - 4] - indep[m - 4]) / (m - 3)
+        out.append("%-14s %8d %8d %+3d %8.2f" % (tag, start, stop, frame, gene_score))
+    return "\n".join(out) + "\n" if out else ""
+
+
+def score_separate_input(models: Models, sequences) -> str:
+    """glimmer3 -M mode (Score_Separate_Input, glimmer3.cc:1555): each input
+    sequence is one in-frame ORF (incl. its stop codon)."""
+    out = []
+    for seq_num, (hdr, seq) in enumerate(sequences):
+        seq_idx = dna.encode(seq)
+        length = len(seq_idx) - 3  # remove stop codon
+        buff = seq_idx[length - 1 :: -1][:length] if length > 0 else seq_idx[:0]
+        buff = seq_idx[:length][::-1]
+        toks = hdr.split()
+        tag = toks[0] if toks else "Seq%04d" % seq_num
+        gene_pb = icm_mod.per_base_logprob_vec(models.gene_icm, buff, 1, cycle=True)
+        indep_pb = icm_mod.per_base_logprob_vec(models.indep_model, buff, 1, cycle=True)
+        score = np.cumsum(gene_pb.astype(np.float64))
+        indep = np.cumsum(indep_pb.astype(np.float64))
+        m = len(score)
+        gene_score = 100.0 * (score[m - 4] - indep[m - 4]) / (m - 3)
+        out.append("%-14s %8d %8d %+3d %8.2f" % (tag, 1, m, 1, gene_score))
+    return "\n".join(out) + "\n" if out else ""
 
 
 def format_predict(results) -> str:

@@ -116,6 +116,33 @@ def _wrap_around_back(n, wfr, pos, dbl_cod, pat):
     return gene_len, orf_len
 
 
+def parse_ignore_regions(text: str) -> list[tuple[int, int]]:
+    """Get_Ignore_Regions (glimmer_base.cc:832-924): 1-based inclusive pairs
+    -> sorted, coalesced 0-based between-coordinate ranges."""
+    regions = []
+    for line in text.splitlines():
+        stripped = line.lstrip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        toks = line.split()
+        if len(toks) < 2:
+            continue
+        a, b = int(toks[0]), int(toks[1])
+        if a < b:
+            regions.append((a - 1, b))
+        else:
+            regions.append((b - 1, a))
+    regions.sort(key=lambda r: r[0])
+    merged: list[tuple[int, int]] = []
+    for lo, hi in regions:
+        if merged and lo < merged[-1][1]:
+            if merged[-1][1] < hi:
+                merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def find_orfs(
     masks: np.ndarray,
     pat: CodonPatterns,
@@ -124,6 +151,7 @@ def find_orfs(
     allow_indel_orfs: bool = False,
     min_indel_orf_len: int = 15,
     circular: bool = False,
+    ignore_regions: list[tuple[int, int]] | None = None,
 ) -> list[Orf]:
     n = len(masks)
     orfs: list[Orf] = []
@@ -140,23 +168,36 @@ def find_orfs(
     fwd_start, rev_start, fwd_stop, rev_stop = scan_codons(ext, pat)
     n_loop = len(ext)
     idx = np.arange(n_loop)
-    fstarts = [idx[fwd_start & ((idx % 3) == f)].tolist() for f in range(3)]
-    rstarts = [idx[rev_start & ((idx % 3) == f)].tolist() for f in range(3)]
+    det_ok = np.ones(n_loop, dtype=bool)
+    if ignore_regions:
+        # detections are suppressed while ignoring and until the codon
+        # register refills (2 positions past the region end).
+        for lo, hi in ignore_regions:
+            det_ok[lo : min(hi + 2, n_loop)] = False
+    fstarts = [idx[fwd_start & det_ok & ((idx % 3) == f)].tolist() for f in range(3)]
+    rstarts = [idx[rev_start & det_ok & ((idx % 3) == f)].tolist() for f in range(3)]
 
-    # Merge stop events in global subscript order.
+    # Merge stop events in global subscript order; interleave ignore-region
+    # boundaries (0 = finish reverse orfs at region start; 2 = reset after).
     stop_events = sorted(
-        [(int(i), +1) for i in idx[fwd_stop]] + [(int(i), -1) for i in idx[rev_stop]]
+        [(int(i), +1) for i in idx[fwd_stop & det_ok]]
+        + [(int(i), -1) for i in idx[rev_stop & det_ok]]
+        + [(lo, 0) for lo, _ in (ignore_regions or [])]
+        + [(hi, 2) for _, hi in (ignore_regions or [])]
     )
 
     prev_fwd_stop = [0, 0, 0]  # 1-based first base of previous stop, 0 = none
     prev_rev_stop = [0, 0, 0]
     keep_len = allow_indel_orfs
+    first_base = 1  # first position of the current (post-ignore) segment
+    segment_bound = -1  # loop indices <= this have no usable starts
+    hit_ignore = False
 
     def first_fwd_start_after(f: int, ref_i_exclusive: int, before_i: int) -> int:
         """1-based first base of first fwd start with subscript in
         (ref_i_exclusive, before_i); INT_MAX if none."""
         lst = fstarts[f]
-        k = bisect.bisect_right(lst, ref_i_exclusive)
+        k = bisect.bisect_right(lst, max(ref_i_exclusive, segment_bound))
         if k < len(lst) and lst[k] < before_i:
             return lst[k] - 1
         return INT_MAX
@@ -166,7 +207,7 @@ def find_orfs(
         (after_i, before_i); 0 if none."""
         lst = rstarts[f]
         k = bisect.bisect_left(lst, before_i)
-        if k > 0 and lst[k - 1] > after_i:
+        if k > 0 and lst[k - 1] > max(after_i, segment_bound):
             return lst[k - 1] - 1
         return 0
 
@@ -175,14 +216,14 @@ def find_orfs(
         pos = i - 1
         start_pos = first_fwd_start_after(f, prev_fwd_stop[f] + 1, i)
         if prev_fwd_stop[f] == 0:
-            if circular:
+            if circular and not hit_ignore:
                 # Handle_First_Forward_Stop wraparound (glimmer_base.cc:946)
                 gene_len, orf_len = _wrap_through_front(n, f, pos, dbl_cod, pat)
                 if gene_len == 0 and start_pos != INT_MAX:
                     gene_len = pos - start_pos
             else:
                 # Handle_First_Forward_Stop, linear (glimmer_base.cc:946-974)
-                orf_len = pos - 1
+                orf_len = pos - first_base
                 orf_len -= orf_len % 3
                 gene_len = 0 if start_pos == INT_MAX else pos - start_pos
                 if allow_truncated and gene_len < min_gene_len:
@@ -199,7 +240,7 @@ def find_orfs(
         pos = i - 1
         if prev_rev_stop[f] == 0:
             # Handle_First_Reverse_Stop (glimmer_base.cc:978-1000)
-            if not allow_truncated:
+            if hit_ignore or not allow_truncated:
                 gene_len = 0
                 orf_stop = 0
             else:
@@ -217,8 +258,35 @@ def find_orfs(
             orfs.append(Orf(orf_stop, -1 - (f + 1) % 3, gene_len, orf_len))
         prev_rev_stop[f] = pos
 
+    def finish_rev_segment(last_position: int):
+        """Finish_Orfs(false, ...) at an ignore-region start."""
+        for f in range(3):
+            if prev_rev_stop[f] == 0:
+                orf_stop = (-1, 0, -2)[f]
+            else:
+                orf_stop = prev_rev_stop[f]
+            orf_len = last_position - orf_stop - 2
+            orf_len -= orf_len % 3
+            last_start = last_rev_start_between(
+                f, (prev_rev_stop[f] + 1) if prev_rev_stop[f] else -1, last_position
+            )
+            gene_len = 0 if last_start == 0 else last_start - orf_stop
+            if allow_truncated and gene_len < min_gene_len:
+                gene_len = orf_len
+            if gene_len >= min_gene_len or (keep_len and orf_len >= min_indel_orf_len):
+                orfs.append(Orf(orf_stop, -1 - (f + 1) % 3, gene_len, orf_len))
+
     for i0, strand in stop_events:
-        if strand > 0:
+        if strand == 0:  # ignore-region start: finish rev orfs, start ignoring
+            finish_rev_segment(i0)
+            hit_ignore = True
+        elif strand == 2:  # ignore-region end: reset registers
+            for f in range(3):
+                prev_fwd_stop[f] = 0
+                prev_rev_stop[f] = 0
+            first_base = i0 + 1
+            segment_bound = i0 + 1  # starts usable from codon refill onward
+        elif strand > 0:
             do_fwd_stop(i0, i0 % 3)
         else:
             do_rev_stop(i0, i0 % 3)

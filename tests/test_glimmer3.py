@@ -94,3 +94,76 @@ def test_sample_run_golden():
     m = icm_mod.read_icm(icm_path)
     got = g3.format_predict(list(g3.run_glimmer3(recs, m, logodds_fudge=-12)))
     assert got == golden.read_text()
+
+
+def test_ignore_regions(tmp_path, oracle_bin):
+    """glimmer3 -i: ignore-region handling matches the reference."""
+    from glimmer_mg_tpu.engine.orfs import parse_ignore_regions
+
+    genome_path = SAMPLE / "NC_000915.fna"
+    if not genome_path.exists():
+        pytest.skip("sample genome unavailable")
+    _, genome = next(iter(read_fasta(genome_path)))
+    genome = genome[:120000]
+    fna = tmp_path / "g.fna"
+    with open(fna, "w") as f:
+        f.write(">g\n")
+        for i in range(0, len(genome), 60):
+            f.write(genome[i : i + 60] + "\n")
+    ig = "5000 9000\n20000 20500\n45000 44000\n100000 101000\n"
+    igf = tmp_path / "ig.txt"
+    igf.write_text(ig)
+    icm_path = SAMPLE / "results/NC_000915.icm"
+    res = subprocess.run(
+        [str(oracle.BIN / "glimmer3"), "-i", str(igf), "-u", "-12",
+         "-m", str(icm_path), str(fna), str(tmp_path / "out")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    want = (tmp_path / "out.predict").read_text()
+    m = icm_mod.read_icm(icm_path)
+    got = g3.format_predict(
+        list(g3.run_glimmer3([("g", genome)], m, logodds_fudge=-12,
+                             ignore_regions=parse_ignore_regions(ig)))
+    )
+    assert got == want
+
+
+def test_orflist_and_separate_modes(tmp_path, oracle_bin):
+    from glimmer_mg_tpu.engine.glimmer3 import Models, gc_fraction
+    from glimmer_mg_tpu.engine.orfs import CodonPatterns
+
+    genome_path = SAMPLE / "NC_000915.fna"
+    if not genome_path.exists():
+        pytest.skip("sample genome unavailable")
+    _, genome = next(iter(read_fasta(genome_path)))
+    icm_path = SAMPLE / "results/NC_000915.icm"
+    m = icm_mod.read_icm(icm_path)
+    lines = []
+    for ln in open(SAMPLE / "results/NC_000915.run1.predict"):
+        if ln.startswith(">"):
+            continue
+        t = ln.split()
+        d = 1 if int(t[3]) > 0 else -1
+        lines.append(f"{t[0]} {t[1]} {t[2]} {d}")
+        if len(lines) >= 40:
+            break
+    orflist = "\n".join(lines) + "\n"
+    olf = tmp_path / "orflist.txt"
+    olf.write_text(orflist)
+    res = subprocess.run(
+        [str(oracle.BIN / "glimmer3"), "-L", str(olf), "-m", str(icm_path),
+         str(SAMPLE / "NC_000915.fna"), str(tmp_path / "orfl")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    want = "".join(
+        l + "\n" for l in (tmp_path / "orfl.predict").read_text().splitlines()
+        if not l.startswith(">")
+    )
+    pat = CodonPatterns.make()
+    gc = gc_fraction([genome])
+    indep = icm_mod.build_indep_wo_stops(gc, pat.stop_codons)
+    models = Models(gene_icm=m, indep_model=indep, patterns=pat, indep_gc_frac=gc)
+    got = g3.score_orflist(models, dna.encode(genome), orflist)
+    assert got == want
