@@ -74,10 +74,32 @@ def cmd_glimmer3(argv):
                    help="use first start codon (reference -f behavior)")
     p.add_argument("-A", "--start_codons", default=None)
     p.add_argument("-Z", "--stop_codons", default=None)
+    p.add_argument("-z", "--trans_table", type=int, default=None,
+                   help="Genbank translation table for stop codons")
     p.add_argument("-i", "--ignore", default=None, help="ignore-regions file")
     p.add_argument("-L", "--orf_coords", default=None, help="score ORFs at coords")
     p.add_argument("-M", "--separate_genes", action="store_true")
+    p.add_argument("-X", "--extend", action="store_true",
+                   help="allow orfs truncated by the sequence ends")
+    p.add_argument("-q", "--ignore_score_len", type=int, default=None,
+                   help="ignore the independent score on orfs longer than this")
+    p.add_argument("-l", "--linear", action="store_true",
+                   help="linear genome (the reference default; kept for "
+                        "command-line parity)")
+    # accepted for parity; these only affect the reference's detail log,
+    # which no flag ever writes (glimmer3.cc:1108,1260; Threshold_Score
+    # filter is commented out at glimmer3.cc:1472-1487)
+    p.add_argument("-P", "--start_probs", default=None, help=argparse.SUPPRESS)
+    p.add_argument("-E", "--entropy", default=None, help=argparse.SUPPRESS)
+    p.add_argument("-t", "--threshold", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("-n", "--no_indep", action="store_true",
+                   help=argparse.SUPPRESS)
     a = p.parse_args(argv)
+    if a.trans_table is not None and a.stop_codons is None:
+        from .io.genome_data import STOP_CODONS_BY_CODE
+
+        a.stop_codons = ",".join(STOP_CODONS_BY_CODE[a.trans_table])
 
     from .io.fasta import read_fasta
     from .models import icm as icm_mod, features as feat
@@ -129,6 +151,8 @@ def cmd_glimmer3(argv):
             min_gene_len=a.gene_len,
             max_olap_bases=a.max_olap,
             use_first_start_codon=a.first_codon,
+            allow_truncated_orfs=a.extend,
+            ignore_score_len=a.ignore_score_len,
             start_codons=a.start_codons.split(",") if a.start_codons else None,
             stop_codons=a.stop_codons.split(",") if a.stop_codons else None,
             rbs_pwm=rbs,
@@ -210,11 +234,27 @@ def cmd_long_orfs(argv):
                    help="optimize total bases instead of count")
     p.add_argument("-l", "--linear", action="store_true")
     p.add_argument("-n", "--no_header", action="store_true")
+    p.add_argument("-i", "--ignore", default=None, help="ignore-regions file")
+    p.add_argument("-w", "--without_stops", action="store_true",
+                   help="exclude the stop codon from output coordinates")
+    p.add_argument("-E", "--entropy", default=None,
+                   help="entropy profile file (pos/neg, 20 rows)")
+    p.add_argument("-A", "--start_codons", default=None)
+    p.add_argument("-Z", "--stop_codons", default=None)
+    p.add_argument("-z", "--trans_table", type=int, default=None,
+                   help="Genbank translation table for stop codons")
     a = p.parse_args(argv)
 
+    from .engine.orfs import parse_ignore_regions
     from .io.fasta import read_fasta
-    from .pipeline.long_orfs import run_long_orfs
+    from .io.genome_data import STOP_CODONS_BY_CODE
+    from .pipeline.long_orfs import read_entropy_profiles, run_long_orfs
 
+    stop_codons = a.stop_codons.split(",") if a.stop_codons else None
+    xlate_code = 0
+    if a.trans_table is not None:
+        stop_codons = list(STOP_CODONS_BY_CODE[a.trans_table])
+        xlate_code = a.trans_table
     _, seq = next(iter(read_fasta(a.sequence_file)))
     lines, final_len = run_long_orfs(
         seq,
@@ -224,6 +264,14 @@ def cmd_long_orfs(argv):
         fixed_min_len=a.fixed,
         optimize_total=a.length_opt,
         entropy_cutoff=a.cutoff,
+        start_codons=a.start_codons.split(",") if a.start_codons else None,
+        stop_codons=stop_codons,
+        xlate_code=xlate_code,
+        ignore_regions=(parse_ignore_regions(open(a.ignore).read())
+                        if a.ignore else None),
+        without_stops=a.without_stops,
+        entropy_profiles=(read_entropy_profiles(a.entropy)
+                          if a.entropy else None),
     )
     out = sys.stdout if a.output == "-" else open(a.output, "w")
     if not a.no_header:

@@ -318,6 +318,8 @@ def run_glimmer3(
     rbs_pwm: features.PWM | None = None,
     feature_models: dict | None = None,
     ignore_regions: list | None = None,
+    ignore_score_len: int | None = None,
+    allow_truncated_orfs: bool = False,
 ):
     """glimmer3 main-mode equivalent. Yields (header, [TracedGene])."""
     patterns = orf_mod.CodonPatterns.make(start_codons, stop_codons)
@@ -332,6 +334,7 @@ def run_glimmer3(
         min_gene_len=min_gene_len,
         max_olap_bases=max_olap_bases,
         use_first_start_codon=use_first_start_codon,
+        allow_truncated_orfs=allow_truncated_orfs,
     )
     # LogOdds_Prior starts at DEFAULT_PRIOR (-1); only -u adds the fudge
     # (float arithmetic, glimmer3.cc:946-953).
@@ -340,7 +343,11 @@ def run_glimmer3(
         models.logodds_prior = np.float32(
             models.logodds_prior + np.float32(logodds_fudge)
         )
-    models.ignore_score_len = set_ignore_score_len(gc_frac, patterns.stop_codons)
+    # -q overrides the Poisson default (glimmer3.cc:919-929)
+    models.ignore_score_len = (
+        ignore_score_len if ignore_score_len is not None
+        else set_ignore_score_len(gc_frac, patterns.stop_codons)
+    )
     if rbs_pwm is not None:
         models.logodds_pwm = rbs_pwm.make_log_odds_wrt_gc(gc_frac)
         models.user_rbs = True

@@ -13,11 +13,44 @@ import numpy as np
 
 # index = 16*b0 + 4*b1 + b2 over acgt
 CODON_XLATE_TABLE_1 = "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF"
-# Other NCBI tables differ in a handful of entries (gene.cc:1037-1092);
-# table 4 (Mold/Protozoan Mito): tga -> W. Tables 1/11 are identical.
-_T4 = list(CODON_XLATE_TABLE_1)
-_T4[16 * 3 + 4 * 2 + 0] = "W"  # tga
-CODON_XLATE_TABLE_4 = "".join(_T4)
+
+def _codon_idx(codon: str) -> int:
+    a = "acgt"
+    return 16 * a.index(codon[0]) + 4 * a.index(codon[1]) + a.index(codon[2])
+
+
+def _variant(**changes: str) -> str:
+    t = list(CODON_XLATE_TABLE_1)
+    for codon, aa in changes.items():
+        t[_codon_idx(codon)] = aa
+    return "".join(t)
+
+
+# Genbank translation tables expressed as codon diffs from the standard code
+# (xlate_tables.hh:44-154, dispatched by gene.cc:1015 Codon_Translation).
+# Tables 13 and 22 reproduce the reference's own table strings, which differ
+# from NCBI's definitions (13: agc->G instead of agg->G; 22: taa->L instead
+# of tag->L) -- parity with the binary takes precedence.
+XLATE_TABLES = {
+    1: CODON_XLATE_TABLE_1,
+    2: _variant(aga="*", agg="*", ata="M", tga="W"),
+    3: _variant(cta="T", ctc="T", ctg="T", ctt="T", ata="M", tga="W"),
+    4: _variant(tga="W"),
+    5: _variant(aga="S", agg="S", ata="M", tga="W"),
+    6: _variant(taa="Q", tag="Q"),
+    9: _variant(aaa="N", aga="S", agg="S", tga="W"),
+    10: _variant(tga="C"),
+    11: CODON_XLATE_TABLE_1,
+    12: _variant(ctg="S"),
+    13: _variant(aga="G", agc="G", ata="M", tga="W"),
+    14: _variant(aaa="N", aga="S", agg="S", taa="Y", tga="W"),
+    15: _variant(tag="Q"),
+    16: _variant(tag="L"),
+    21: _variant(aga="S", agg="S", ata="M", tga="W"),
+    22: _variant(taa="L", tca="*"),
+    23: _variant(tta="*"),
+}
+CODON_XLATE_TABLE_4 = XLATE_TABLES[4]
 
 IS_AMINO = [c not in "BJOUXZ" for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"]
 
@@ -34,11 +67,13 @@ DEFAULT_NEG_ENTROPY_PROF = np.array(
 
 
 def xlate_table(code: int) -> str:
-    if code in (0, 1, 11):
+    """gene.cc:1037: table by Genbank number; 0 = unspecified -> standard."""
+    if code == 0:
         return CODON_XLATE_TABLE_1
-    if code == 4:
-        return CODON_XLATE_TABLE_4
-    raise NotImplementedError(f"translation table {code}")
+    try:
+        return XLATE_TABLES[code]
+    except KeyError:
+        raise ValueError(f"ERROR:  Bad translation table = {code}") from None
 
 
 def translate_codons(base_idx: np.ndarray, code: int = 0) -> np.ndarray:

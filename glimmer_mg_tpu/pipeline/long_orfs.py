@@ -96,6 +96,7 @@ def find_long_orfs(
     pat: CodonPatterns,
     min_gene_len: int,
     circular: bool = True,
+    ignore_regions: list[tuple[int, int]] | None = None,
 ):
     """long-orfs.cc:570 Find_Orfs: (stop_position, frame, gene_len) list."""
     n = len(seq_idx)
@@ -107,20 +108,32 @@ def find_long_orfs(
     )
     n_ext = len(ext)
     idx = np.arange(n_ext)
-    fstarts = [idx[fwd_start & (idx % 3 == f)].tolist() for f in range(3)]
-    rstarts = [idx[rev_start & (idx % 3 == f)].tolist() for f in range(3)]
+    det_ok = np.ones(n_ext, dtype=bool)
+    if ignore_regions:
+        # no codon detections while ignoring nor until the codon register
+        # refills: Codon_t::Clear at region end (long-orfs.cc:665).
+        for lo, hi in ignore_regions:
+            det_ok[lo : min(hi + 2, n_ext)] = False
+    fstarts = [idx[fwd_start & det_ok & (idx % 3 == f)].tolist() for f in range(3)]
+    rstarts = [idx[rev_start & det_ok & (idx % 3 == f)].tolist() for f in range(3)]
     stop_events = sorted(
-        [(int(i), +1) for i in idx[fwd_stop]] + [(int(i), -1) for i in idx[rev_stop]]
+        [(int(i), +1) for i in idx[fwd_stop & det_ok]]
+        + [(int(i), -1) for i in idx[rev_stop & det_ok]]
+        + [(lo, 0) for lo, _ in (ignore_regions or [])]
+        + [(hi, 2) for _, hi in (ignore_regions or [])]
     )
 
     import bisect
 
     prev_fwd_stop = [0, 0, 0]
     prev_rev_stop = [0, 0, 0]
+    first_base = 1  # first position of the current post-ignore segment
+    segment_bound = -1  # loop indices <= this hold no usable starts
+    hit_ignore = False
 
     def first_fwd_start_after(f, prev_i, before_i):
         lst = fstarts[f]
-        k = bisect.bisect_right(lst, prev_i)
+        k = bisect.bisect_right(lst, max(prev_i, segment_bound))
         if k < len(lst) and lst[k] < before_i:
             return lst[k] - 1
         return INT_MAX
@@ -128,23 +141,45 @@ def find_long_orfs(
     def last_rev_start_between(f, after_i, before_i):
         lst = rstarts[f]
         k = bisect.bisect_left(lst, before_i)
-        if k > 0 and lst[k - 1] > after_i:
+        if k > 0 and lst[k - 1] > max(after_i, segment_bound):
             return lst[k - 1] - 1
         return 0
+
+    def finish_rev_linear(last_position):
+        """Finish_Orfs(false,...) at an ignore-region start
+        (long-orfs.cc:637, Handle_Last_Reverse_Stop non-wrap branch)."""
+        for f in range(3):
+            if prev_rev_stop[f] == 0:
+                continue
+            last_start = last_rev_start_between(
+                f, prev_rev_stop[f] + 1, last_position
+            )
+            gene_len = 0 if last_start == 0 else last_start - prev_rev_stop[f]
+            if gene_len >= min_gene_len:
+                orfs.append((prev_rev_stop[f], -1 - (f + 1) % 3, gene_len))
 
     for i0, strand in stop_events:
         i = i0  # reference loop subscript (0-based last base of codon)
         f = i0 % 3
         pos = i - 1  # 1-based first base of the stop codon
-        if strand > 0:
+        if strand == 0:  # ignore-region start (long-orfs.cc:636)
+            finish_rev_linear(i0)
+            hit_ignore = True
+        elif strand == 2:  # ignore-region end: reset registers (:641-662)
+            for g in range(3):
+                prev_fwd_stop[g] = 0
+                prev_rev_stop[g] = 0
+            first_base = i0 + 1
+            segment_bound = i0 + 1
+        elif strand > 0:
             start_pos = first_fwd_start_after(f, prev_fwd_stop[f] + 1, i)
             if prev_fwd_stop[f] == 0:
-                if circular:  # hit_ignore always false (no ignore support yet)
+                if circular and not hit_ignore:
                     gene_len, orf_len = _wrap_through_front(n, pos, dbl, pat)
                     if gene_len == 0 and start_pos != INT_MAX:
                         gene_len = pos - start_pos
                 else:
-                    orf_len = pos - 1
+                    orf_len = pos - first_base
                     orf_len -= orf_len % 3
                     gene_len = 0 if start_pos == INT_MAX else pos - start_pos
             else:
@@ -161,7 +196,9 @@ def find_long_orfs(
                     orfs.append((prev_rev_stop[f], -1 - (f + 1) % 3, gene_len))
             prev_rev_stop[f] = pos
 
-    # Finish_Orfs (long-orfs.cc:744)
+    # Finish_Orfs (long-orfs.cc:744). NOTE the reference passes
+    # Genome_Is_Circular here even after hitting an ignore region
+    # (long-orfs.cc:733), unlike glimmer3's Finish_Orfs call.
     for f in range(3):
         if prev_rev_stop[f] == 0:
             continue
@@ -308,6 +345,18 @@ def eliminate_overlapping(ivs, n, max_olap, circular):
     return [v for v in ivs if not v.deleted]
 
 
+def read_entropy_profiles(path):
+    """long-orfs.cc:1407 Read_Entropy_Profiles: header line then 20 rows of
+    `name pos neg`; returns (pos_profile, neg_profile) arrays."""
+    with open(path) as fh:
+        lines = [ln.split() for ln in fh.read().splitlines()[1:] if ln.split()]
+    pos = np.array([float(t[1]) for t in lines[:20]])
+    neg = np.array([float(t[2]) for t in lines[:20]])
+    if len(pos) != 20:
+        raise ValueError(f"bad entropy profile file {path}")
+    return pos, neg
+
+
 def run_long_orfs(
     seq: str,
     *,
@@ -320,12 +369,15 @@ def run_long_orfs(
     start_codons=None,
     stop_codons=None,
     xlate_code: int = 0,
+    ignore_regions: list[tuple[int, int]] | None = None,
+    without_stops: bool = False,
+    entropy_profiles: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """Returns (lines, final_min_len): formatted output rows + chosen length."""
     pat = CodonPatterns.make(start_codons, stop_codons)
     seq_idx = dna.encode(seq)
     n = len(seq_idx)
-    orfs = find_long_orfs(seq_idx, pat, min_gene_len, circular)
+    orfs = find_long_orfs(seq_idx, pat, min_gene_len, circular, ignore_regions)
 
     def on_seq_1(i):
         while i < 1:
@@ -343,6 +395,8 @@ def run_long_orfs(
             idxs = (s0 - np.arange(length)) % n
             buff = dna.COMPLEMENT_INDEX[seq_idx[idxs]]
         aa = translate.translate_codons(buff, xlate_code)
+        if entropy_profiles is not None:
+            return translate.entropy_distance_ratio(aa, *entropy_profiles)
         return translate.entropy_distance_ratio(aa)
 
     if entropy_cutoff is not None:
@@ -369,11 +423,20 @@ def run_long_orfs(
     for i, v in enumerate(ivs):
         length = v.hi - v.lo
         if v.frame > 0:
-            stop = on_seq_1(v.hi + 3)
-            start = on_seq_1(stop - length - 2)
+            if without_stops:  # long-orfs.cc:1094: exclude the stop codon
+                stop = on_seq_1(v.hi)
+                start = on_seq_1(stop - length + 1)
+            else:
+                stop = on_seq_1(v.hi + 3)
+                start = on_seq_1(stop - length - 2)
         else:
-            stop = on_seq_1(v.lo - 2)
-            start = on_seq_1(stop + length + 2)
+            if without_stops:
+                stop = on_seq_1(v.lo + 1)
+                start = on_seq_1(stop + length - 1)
+            else:
+                stop = on_seq_1(v.lo - 2)
+                start = on_seq_1(stop + length + 2)
+        # the entropy start coordinate is the same in both modes
         er = entropy_of(start, length, v.frame)
         lines.append("%05d %7d %7d  %+2d  %6.3f" % (i + 1, start, stop, v.frame, er))
     return lines, final_len

@@ -167,3 +167,28 @@ def test_orflist_and_separate_modes(tmp_path, oracle_bin):
     models = Models(gene_icm=m, indep_model=indep, patterns=pat, indep_gc_frac=gc)
     got = g3.score_orflist(models, dna.encode(genome), orflist)
     assert got == want
+
+
+def test_trans_table_extend_qlen(tmp_path, oracle_bin):
+    """glimmer3 -z (stop codons by Genbank code), -X (truncated orfs),
+    -q (ignore-score length) parity."""
+    from glimmer_mg_tpu.io.genome_data import STOP_CODONS_BY_CODE
+
+    rng = np.random.default_rng(11)
+    icm = _train_icm(rng)
+    seqs = ["".join(rng.choice(list("acgt"), 22000)) for _ in range(2)]
+    for extra, kwargs in [
+        (["-z", "4"],
+         dict(stop_codons=list(STOP_CODONS_BY_CODE[4]))),
+        (["-X"], dict(allow_truncated_orfs=True)),
+        (["-q", "900"], dict(ignore_score_len=900)),
+        (["-X", "-z", "6", "-u", "-8"],
+         dict(allow_truncated_orfs=True,
+              stop_codons=list(STOP_CODONS_BY_CODE[6]), logodds_fudge=-8)),
+    ]:
+        want = _oracle_glimmer3(tmp_path, seqs, icm, extra)
+        got = g3.format_predict(
+            list(g3.run_glimmer3([(f"s{i}", s) for i, s in enumerate(seqs)],
+                                 icm, **kwargs))
+        )
+        assert got == want, extra

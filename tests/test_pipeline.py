@@ -82,3 +82,50 @@ def test_elph_finds_planted_motif():
         max("acgt", key=lambda b: rows[b][j]) for j in range(6)
     )
     assert consensus == "aggagg"
+
+
+def _run_ref_long_orfs(tmp_path, seq, extra):
+    from . import oracle
+
+    if not oracle.available():
+        pytest.skip("reference sources unavailable")
+    bin_dir = oracle.ensure_built()
+    import subprocess
+
+    fna = tmp_path / "lo.fna"
+    with open(fna, "w") as f:
+        f.write(">g\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i : i + 60] + "\n")
+    res = subprocess.run(
+        [str(bin_dir / "long-orfs"), "-n", *extra, str(fna), "-"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-1000:]
+    return res.stdout
+
+
+def test_long_orfs_options_vs_oracle(genome, tmp_path):
+    """-i/-w/-z/-l option parity against the reference binary."""
+    from glimmer_mg_tpu.engine.orfs import parse_ignore_regions
+
+    _, full = genome
+    seq = full[:150000]
+
+    ig = "12000 20000\n40000 41000\n90001 88000\n"
+    (tmp_path / "ig.txt").write_text(ig)
+    cases = [
+        (["-i", str(tmp_path / "ig.txt")],
+         dict(ignore_regions=parse_ignore_regions(ig))),
+        (["-w"], dict(without_stops=True)),
+        (["-w", "-l"], dict(without_stops=True, circular=False)),
+        (["-z", "4", "-t", "1.15"],
+         dict(stop_codons=["taa", "tag"], xlate_code=4, entropy_cutoff=1.15)),
+        (["-i", str(tmp_path / "ig.txt"), "-l", "-t", "1.2"],
+         dict(ignore_regions=parse_ignore_regions(ig), circular=False,
+              entropy_cutoff=1.2)),
+    ]
+    for extra, kwargs in cases:
+        want = _run_ref_long_orfs(tmp_path, seq, extra)
+        lines, _ = lo.run_long_orfs(seq, **kwargs)
+        assert "\n".join(lines) + "\n" == want, extra

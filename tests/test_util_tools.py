@@ -3,6 +3,7 @@ start-codon-distrib, multi-extract)."""
 
 import io
 import subprocess
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -117,3 +118,27 @@ def test_entropy_fasta(data):
     want = _run("entropy-fasta", stdin=genes)
     recs = [(f"gene{i}", seq[i*300:(i+1)*300]) for i in range(5)]
     assert ut.entropy_fasta(recs) == want
+
+
+def test_xlate_tables_match_reference_header():
+    """All Genbank translation tables match xlate_tables.hh byte-for-byte."""
+    import re
+
+    from glimmer_mg_tpu.models import translate
+
+    src = Path("/root/reference/src/Common/xlate_tables.hh")
+    if not src.exists():
+        pytest.skip("reference sources unavailable")
+    ref = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(
+            r'CODON_XLATE_TABLE_(\d+)\s*\[\]\s*=\s*\n?\s*"([A-Z*]+)"',
+            src.read_text(),
+        )
+    }
+    ref[11] = ref[1]  # gene.cc:1039: case 11 shares the standard table
+    assert set(ref) == set(translate.XLATE_TABLES)
+    for code, table in ref.items():
+        assert translate.XLATE_TABLES[code] == table, code
+    with pytest.raises(ValueError):
+        translate.xlate_table(7)
