@@ -13,6 +13,17 @@ import argparse
 import sys
 
 
+def _stops_by_code(parser, code):
+    """Set_Stop_Codons_By_Code (gene.cc:1560): stop set for a Genbank
+    translation table, with the reference's error message on a bad code."""
+    from .io.genome_data import STOP_CODONS_BY_CODE
+
+    try:
+        return list(STOP_CODONS_BY_CODE[code])
+    except KeyError:
+        parser.error(f"ERROR:  Bad translation table = {code}")
+
+
 def cmd_build_icm(argv):
     p = argparse.ArgumentParser(prog="build-icm")
     p.add_argument("output")
@@ -97,9 +108,7 @@ def cmd_glimmer3(argv):
                    help=argparse.SUPPRESS)
     a = p.parse_args(argv)
     if a.trans_table is not None and a.stop_codons is None:
-        from .io.genome_data import STOP_CODONS_BY_CODE
-
-        a.stop_codons = ",".join(STOP_CODONS_BY_CODE[a.trans_table])
+        a.stop_codons = ",".join(_stops_by_code(p, a.trans_table))
 
     from .io.fasta import read_fasta
     from .models import icm as icm_mod, features as feat
@@ -183,17 +192,22 @@ def cmd_glimmer_mg(argv):
     p.add_argument("-s", "--sub", action="store_true")
     p.add_argument("-q", "--quality", default=None)
     p.add_argument("-r", "--circular", action="store_true")
+    p.add_argument("-z", "--trans_table", type=int, default=None,
+                   help="Genbank translation table for stop codons")
+    p.add_argument("-Z", "--stop_codons", default=None)
+    p.add_argument("--genome_data", default=None,
+                   help="genomeData directory for -c mode (the reference "
+                        "compiles this path in; glimmer-mg.cc:147)")
     a = p.parse_args(argv)
 
     from .io.fasta import read_fasta, read_qual
     from .models import icm as icm_mod, features as feat
     from .engine import glimmer_mg as mg
 
+    stop_codons = a.stop_codons.split(",") if a.stop_codons else None
+    if a.trans_table is not None and stop_codons is None:
+        stop_codons = _stops_by_code(p, a.trans_table)
     recs = list(read_fasta(a.sequence_file))
-    if a.icm is None:
-        p.error("classification mode (-c without -m) arrives with the "
-                "parallel classifier; specify -m for now")
-    m = icm_mod.read_icm(a.icm)
     rbs = None
     if a.rbs_pwm:
         rbs = feat.PWM.read(a.rbs_pwm)
@@ -202,21 +216,51 @@ def cmd_glimmer_mg(argv):
     quals = None
     if a.quality:
         quals = {h.split()[0]: q for h, q in read_qual(a.quality)}
-    results = list(
-        mg.run_glimmer_mg(
-            recs,
-            m,
-            qualities=quals,
-            features_path=a.features,
-            rbs_pwm=rbs,
-            logodds_fudge=a.fudge,
-            min_gene_len=a.gene_len,
-            max_olap_bases=a.max_olap,
-            allow_indels=a.indel,
-            allow_subs=a.sub,
-            circular=a.circular,
+
+    if a.classes is not None:
+        from .io.genome_data import GenomeData, parse_classes
+
+        if a.genome_data is None:
+            p.error("-c requires --genome_data (the reference hardcodes "
+                    "ICM_dir at compile time)")
+        gd = GenomeData(a.genome_data)
+        results = list(
+            mg.run_glimmer_mg_classes(
+                recs,
+                gd,
+                parse_classes(a.classes),
+                qualities=quals,
+                user_icm=icm_mod.read_icm(a.icm) if a.icm else None,
+                features_path=a.features,
+                user_rbs_pwm=rbs,
+                logodds_fudge=a.fudge,
+                min_gene_len=a.gene_len,
+                max_olap_bases=a.max_olap,
+                allow_indels=a.indel,
+                allow_subs=a.sub,
+                circular=a.circular,
+                user_stop_codons=stop_codons,
+            )
         )
-    )
+    else:
+        if a.icm is None:
+            p.error("either -m <icm> or -c <classes> is required")
+        results = list(
+            mg.run_glimmer_mg(
+                recs,
+                icm_mod.read_icm(a.icm),
+                qualities=quals,
+                features_path=a.features,
+                rbs_pwm=rbs,
+                logodds_fudge=a.fudge,
+                min_gene_len=a.gene_len,
+                max_olap_bases=a.max_olap,
+                allow_indels=a.indel,
+                allow_subs=a.sub,
+                circular=a.circular,
+                stop_codons=stop_codons,
+            )
+        )
     with open(a.tag + ".predict", "w") as fh:
         fh.write(mg.format_predict_mg(results))
 
@@ -247,13 +291,12 @@ def cmd_long_orfs(argv):
 
     from .engine.orfs import parse_ignore_regions
     from .io.fasta import read_fasta
-    from .io.genome_data import STOP_CODONS_BY_CODE
     from .pipeline.long_orfs import read_entropy_profiles, run_long_orfs
 
     stop_codons = a.stop_codons.split(",") if a.stop_codons else None
     xlate_code = 0
     if a.trans_table is not None:
-        stop_codons = list(STOP_CODONS_BY_CODE[a.trans_table])
+        stop_codons = _stops_by_code(p, a.trans_table)
         xlate_code = a.trans_table
     _, seq = next(iter(read_fasta(a.sequence_file)))
     lines, final_len = run_long_orfs(

@@ -515,6 +515,7 @@ def run_glimmer_mg_classes(
     allow_indels: bool = False,
     allow_subs: bool = False,
     circular: bool = False,
+    user_stop_codons=None,
 ):
     """glimmer-mg classification mode (-c): per-read model parameterization.
 
@@ -549,10 +550,40 @@ def run_glimmer_mg_classes(
     icm_cache: dict[str, icm_mod.ICM] = {}
     model_cache: dict[tuple, Models] = {}
 
+    sequences = list(sequences)
     if user_icm is not None:
         user_gc = gc_fraction([s for _, s in sequences])
+        iter_sequences = sequences
+    else:
+        # Reference emission order (glimmer-mg.cc:361): reads grouped by
+        # gene-ICM file, groups in __gnu_cxx::hash_map iteration order over
+        # the ICM paths, reads within a group in the `classifications`
+        # hash_map order (Read_Meta_ICMs, glimmer-mg.cc:1001); unclassified
+        # reads are never emitted. Duplicate prefixes: the last read wins
+        # (Read_Indexes) and is emitted once.
+        from ..utils.gnuhash import GnuHashMap, gnu_hash_order
 
-    for header, seq in sequences:
+        icm_groups = GnuHashMap()
+        for prefix in gnu_hash_order(list(classifications.keys())):
+            cl = classifications.get(prefix)
+            if not cl:
+                continue
+            f = genome_data.classes_icm_file(cl)
+            if f in icm_groups:
+                icm_groups[f].append(prefix)
+            else:
+                icm_groups.insert(f, [prefix])
+        by_prefix = {}
+        for h, s in sequences:
+            by_prefix[h.split()[0]] = (h, s)
+        iter_sequences = [
+            by_prefix[p]
+            for _, prefixes in icm_groups.items()
+            for p in prefixes
+            if p in by_prefix
+        ]
+
+    for header, seq in iter_sequences:
         prefix = header.split()[0]
         classes = classifications.get(prefix)
         if classes is None or not classes:
@@ -573,9 +604,13 @@ def run_glimmer_mg_classes(
                     gene_icm = icm_mod.read_icm(icm_file)
                     icm_cache[icm_file] = gene_icm
 
-            # stop codons from top class's translation table (Update_Meta_Stop)
-            code = genome_data.transl_table(classes[0])
-            stop_codons = STOP_CODONS_BY_CODE.get(code, dna.DEFAULT_STOP_CODONS)
+            # stop codons from top class's translation table
+            # (Update_Meta_Stop, skipped when -z/-Z set User_Stop)
+            if user_stop_codons is not None:
+                stop_codons = user_stop_codons
+            else:
+                code = genome_data.transl_table(classes[0])
+                stop_codons = STOP_CODONS_BY_CODE.get(code, dna.DEFAULT_STOP_CODONS)
             patterns = orf_mod.CodonPatterns.make(None, stop_codons)
 
             # null ICM GC (Update_Meta_Null_ICM) or user GC

@@ -144,9 +144,35 @@ def test_classes_mode(test_db, name, args, kw):
 
     gd = GenomeData(str(DB / "genomeData"))
     classes = parse_classes(DB / "classes.txt")
-    ours = _per_read(
-        mg.format_predict_mg(list(mg.run_glimmer_mg_classes(reads, gd, classes, **kw)))
+    got_text = mg.format_predict_mg(
+        list(mg.run_glimmer_mg_classes(reads, gd, classes, **kw))
     )
+    ours = _per_read(got_text)
     assert set(want) == set(ours)
     diffs = [r for r in want if want[r] != ours[r]]
     assert not diffs, f"{len(diffs)} reads differ, first: {diffs[0]}: want={want[diffs[0]]} got={ours[diffs[0]]}"
+    # whole-file byte parity: record order reproduces the reference's
+    # __gnu_cxx::hash_map iteration order (utils/gnuhash.py)
+    assert got_text == (DB / f"out_{name}.predict").read_text()
+
+
+def test_classes_mode_user_stops(test_db):
+    """-Z in classification mode overrides Update_Meta_Stop (User_Stop)."""
+    binary, reads = test_db
+    res = subprocess.run(
+        [str(binary), "-c", str(DB / "classes.txt"), "-Z", "taa,tag",
+         str(DB / "reads.fa"), str(DB / "out_zstop")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    want = _per_read((DB / "out_zstop.predict").read_text())
+    gd = GenomeData(str(DB / "genomeData"))
+    classes = parse_classes(DB / "classes.txt")
+    got_text = mg.format_predict_mg(
+        list(mg.run_glimmer_mg_classes(
+            reads, gd, classes, user_stop_codons=["taa", "tag"]))
+    )
+    ours = _per_read(got_text)
+    diffs = [r for r in want if want[r] != ours[r]]
+    assert not diffs, f"{len(diffs)} reads differ: {diffs[:2]}"
+    assert got_text == (DB / "out_zstop.predict").read_text()

@@ -142,3 +142,43 @@ def test_xlate_tables_match_reference_header():
         assert translate.XLATE_TABLES[code] == table, code
     with pytest.raises(ValueError):
         translate.xlate_table(7)
+
+
+def test_gnu_hash_map_iteration_order(tmp_path):
+    """utils/gnuhash reproduces __gnu_cxx::hash_map iteration order, which
+    decides glimmer-mg classification-mode .predict record order."""
+    import random
+
+    from glimmer_mg_tpu.utils.gnuhash import gnu_hash_order
+
+    if not oracle.available():
+        pytest.skip("reference toolchain unavailable")
+    src = tmp_path / "order.cc"
+    src.write_text(
+        "#include <ext/hash_map>\n#include <string>\n#include <cstdio>\n"
+        "#include <iostream>\nusing namespace std;\n"
+        "namespace __gnu_cxx { template<> struct hash<std::string> {\n"
+        "  size_t operator()(const std::string& x) const\n"
+        "  { return hash<const char*>()(x.c_str()); } }; }\n"
+        "int main() { __gnu_cxx::hash_map<string,int> m; string line;\n"
+        "  while (getline(cin, line)) if (!line.empty()) m[line] = 1;\n"
+        "  for (__gnu_cxx::hash_map<string,int>::const_iterator it = m.begin();\n"
+        "       it != m.end(); ++it) printf(\"%s\\n\", it->first.c_str());\n"
+        "  return 0; }\n"
+    )
+    binary = tmp_path / "order"
+    subprocess.run(
+        ["g++", "-std=gnu++98", "-O2", "-w", str(src), "-o", str(binary)],
+        check=True,
+    )
+    rng = random.Random(7)
+    for n in (5, 193, 194, 600):  # crosses the 193->389->769 resizes
+        keys = list(dict.fromkeys(
+            f"/db/s{rng.randrange(999)}/NC_{rng.randrange(10**6)}.gicm"
+            for _ in range(n)
+        ))
+        want = subprocess.run(
+            [str(binary)], input="\n".join(keys) + "\n",
+            capture_output=True, text=True,
+        ).stdout.splitlines()
+        assert gnu_hash_order(keys) == want, n
