@@ -10,8 +10,17 @@ L * M * 2 / 1e6 model-Mbp. The baseline is the reference implementation's
 single-core ICM scoring throughput measured on this machine:
 ICM_t::Score_String over the sample-run reads = 7.43 Mbp/s per model per
 core (999 reads x 500 bp x 20 reps through the compiled reference code).
+
+Timing methodology: the execution relay to the remote chip both memoizes
+repeat calls with identical inputs and adds tens of ms of per-dispatch
+latency, so per-call host timing is meaningless. Instead N classification
+steps run inside ONE jitted fori_loop, each step re-deriving its input
+on device (jnp.roll by the step index) so no two steps see identical
+data; a same-structure loop without the classifier measures the
+dispatch + loop + fetch overhead, which is subtracted.
 """
 
+import functools
 import json
 import sys
 import time
@@ -23,7 +32,7 @@ REFERENCE_MBP_PER_S = 7.43  # C++ Score_String, single core, this machine
 N_MODELS = 16
 READ_LEN = 510  # multiple of 3 for the frame-phase split
 BATCH = 512
-STEPS = 5
+STEPS = 40
 
 
 def build_inputs():
@@ -63,6 +72,7 @@ def build_inputs():
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from glimmer_mg_tpu.ops.icm_pallas import pack_tables
     from glimmer_mg_tpu.parallel.classify import classify_step_pallas
@@ -72,24 +82,34 @@ def main():
     dev = jax.devices()[0]
     tabs, reads, lengths = jax.device_put((tabs, reads, lengths), dev)
 
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def many_steps(level_mip, probs_pk, reads, lengths, k0, n):
+        def body(i, acc):
+            r = jnp.roll(reads, k0 + i, axis=0)
+            scores, best = classify_step_pallas(level_mip, probs_pk, r, lengths, 12, 7)
+            return acc + scores.sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def many_noop(reads, k0, n):
+        def body(i, acc):
+            return acc + jnp.roll(reads, k0 + i, axis=0).sum()
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
     t0 = time.time()
-    scores, best = classify_step_pallas(*tabs, reads, lengths, 12, 7)
-    jax.block_until_ready(scores)
+    float(many_steps(*tabs, reads, lengths, 0, STEPS))
     compile_s = time.time() - t0
 
-    # Fresh input each step (the remote execution relay memoizes repeat
-    # calls with identical inputs); upload before timing, block per step.
-    host_reads = np.asarray(reads)
-    shifted = [
-        jax.device_put(np.roll(host_reads, k + 1, axis=0), dev)
-        for k in range(STEPS)
-    ]
-    jax.block_until_ready(shifted)
+    int(many_noop(reads, 0, STEPS))  # warm the noop loop
     t0 = time.time()
-    for k in range(STEPS):
-        scores, best = classify_step_pallas(*tabs, shifted[k], lengths, 12, 7)
-        jax.block_until_ready(scores)
-    dt = (time.time() - t0) / STEPS
+    int(many_noop(reads, 1, STEPS))
+    overhead = time.time() - t0
+
+    t0 = time.time()
+    float(many_steps(*tabs, reads, lengths, 1, STEPS))
+    dt = max(1e-9, (time.time() - t0 - overhead)) / STEPS
 
     total_bp = int(np.sum(lengths))
     model_mbp = total_bp * N_MODELS * 2 / 1e6  # fwd + revcomp passes
@@ -105,6 +125,8 @@ def main():
             "read_len": READ_LEN,
             "models": N_MODELS,
             "step_ms": round(dt * 1e3, 2),
+            "steps": STEPS,
+            "overhead_ms": round(overhead * 1e3, 1),
             "compile_s": round(compile_s, 1),
         },
     }

@@ -1,23 +1,36 @@
 """Pallas TPU kernel for ICM bank scoring — the speed-of-light walk.
 
-XLA lowers the data-dependent tree walk's gathers to effectively scalar
-code (~130M gathers/s measured). This kernel reformulates every lookup as a
-one-hot matmul on the MXU plus a lane-masked reduction on the VPU:
+The reference scores one base at a time with a data-dependent tree walk
+(``ICM_t::Full_Window_Prob``, reference src/ICM/icm.cc:557-610). XLA lowers
+the walk's gathers to effectively scalar code (~130M gathers/s measured),
+and a first MXU one-hot-matmul formulation of the lookups was VPU-layout
+bound: per-position state shaped (E, 1) uses 1 of 128 lanes.
 
-  * node index n < 21845 splits into (hi, lo) = (n >> 7, n & 127);
-  * mut_info_pos lookup = onehot(hi) @ mip_table[hi_rows, 128 lanes]
-    followed by a lane one-hot multiply-reduce — no gather at all;
-  * the walk's step-k node bound ((4^{k+1}-4)/3) caps the one-hot width per
-    step (rows 1, 1, 1, 3, 11, 43), so early steps cost almost nothing;
-  * the final probability lookup folds the predicted base into the one-hot
-    (width 171*4) against a (684, 128) table;
-  * pruned-node backup (mip == -2 -> parent, icm.cc:590) is folded into the
+This kernel keeps every per-position value in a dense (S, 128) layout —
+all 128 lanes live — and resolves every table lookup with Mosaic's
+lane-wise dynamic gather (``jnp.take_along_axis(table_row, idx, axis=1)``):
+
+  * Walk step k reads ``mut_info_pos`` only for nodes at tree level k, so
+    the lookup table for step k is just the level-k slice of the tree
+    (4^k entries). Levels 0..3 fit in ONE 128-lane row -> a single gather;
+    deeper levels select over ceil(4^k/128) rows (2/8/32 for levels 4/5/6,
+    46 gathers total per walk) with the level-local offset o = node - base_k
+    (o' = 4*o + b mirrors child = 4*node + b + 1, icm.cc:580).
+  * The final probability lookup addresses (node, predicted base) =
+    21845*4 entries as 684 rows x 128 lanes: a select-loop of one gather +
+    one compare per row. Each entry packs the bf16x2 split of the f32
+    log-prob into one int32 word (hi bits 31..16, residual lo bits 15..0),
+    so f32-grade values cost a single 32-bit gather; the unpack is two
+    bitcasts and an add.
+  * Pruned-node backup (mip == -2 -> parent, icm.cc:590) is folded into the
     prob table at build time (pruned rows get their parent's probs), which
     also handles walks that stop ON a pruned node.
+  * Partial windows (first model_len-1 bases, Partial_Window_Prob
+    icm.cc:807) fall out of the same code path via the per-position
+    ``thresh`` cutoff — no ragged control flow.
 
-Cost: ~190k f32 MXU FLOPs per scored base — MXU-bound instead of
-gather-bound. Frames are made uniform per kernel instance by splitting
-positions into the 3 frame phases (total scores are order-free sums).
+Frames are made uniform per kernel instance by splitting positions into
+the 3 frame phases (total scores are order-free sums).
 """
 
 from __future__ import annotations
@@ -31,26 +44,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-E_BLOCK = 512  # positions per kernel instance
-
-# max node value BEFORE step k is (4^(k+1) - 4) / 3; rows = ceil((max+1)/128)
-_STEP_ROWS = [1, 1, 1, 1, 3, 11, 43]  # steps 0..6 (depth 7)
+E_BLOCK = 1024  # positions per walk group (tuned on v5e)
+GROUPS = 8  # level-synchronized groups per kernel instance (latency hiding)
 
 
-def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray):
+def _level_rows(depth: int) -> list[int]:
+    """Rows of 128 lanes needed for each walk level 0..depth-1."""
+    return [max(1, (4**k + LANES - 1) // LANES) for k in range(depth)]
+
+
+def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray, depth: int = 7):
     """(M, P, N) mip + (M, P, N, 4) probs -> kernel tables.
 
-    Returns (mip_t (M, P, 171, 128) f32, probs_t (M, P, 684, 128) f32) with
-    the pruned-node parent-backup folded into probs and layout
-    probs_t[:, :, hi*4 + base, lo] = logprob[node = hi*128 + lo, base].
+    Returns (level_mip (M, P, LR, 128) int32, probs_pk (M, P, rows*4, 128)
+    int32) where LR = sum of per-level row counts and probs_pk packs the
+    bf16x2 split of each log-prob into one int32
+    (probs_pk[:, :, hi*4 + base, lo] <-> logprob[node = hi*128 + lo, base]).
     """
+    import ml_dtypes
+
     m, p, n = bank_mip.shape
     rows = (n + LANES - 1) // LANES
     pad_n = rows * LANES
 
-    mip_t = np.full((m, p, pad_n), -1, dtype=np.float32)
-    mip_t[:, :, :n] = bank_mip.astype(np.float32)
-    mip_t = mip_t.reshape(m, p, rows, LANES)
+    # per-level mut_info_pos tables (walk reads levels 0..depth-1 only)
+    lr = _level_rows(depth)
+    level_mip = np.full((m, p, sum(lr), LANES), -1, dtype=np.int32)
+    off = 0
+    for k, rk in enumerate(lr):
+        base = (4**k - 1) // 3
+        cnt = min(4**k, max(0, n - base))
+        flat = np.full((m, p, rk * LANES), -1, dtype=np.int32)
+        flat[:, :, :cnt] = bank_mip[:, :, base : base + cnt].astype(np.int32)
+        level_mip[:, :, off : off + rk] = flat.reshape(m, p, rk, LANES)
+        off += rk
 
     # fold pruned backup: probs[pruned] = probs[parent]
     probs_eff = np.array(bank_probs, dtype=np.float32)
@@ -64,76 +91,102 @@ def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray):
     # [m, p, hi, lo, base] -> [m, p, hi*4+base, lo]
     probs_t = probs_pad.reshape(m, p, rows, LANES, 4).transpose(0, 1, 2, 4, 3)
     probs_t = probs_t.reshape(m, p, rows * 4, LANES)
-    # bf16x2 split: hi = bf16(p), lo = bf16(p - hi); two one-pass MXU matmuls
-    # recover f32-grade picked values at 1/3 the cost of Precision.HIGHEST.
-    import ml_dtypes
-
-    probs_hi = probs_t.astype(ml_dtypes.bfloat16)
-    probs_lo = (probs_t - probs_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return mip_t, probs_hi, probs_lo
-
-
-def _walk_kernel(mip_ref, probs_hi_ref, probs_lo_ref, ctx_ref, thresh_ref, last_ref, out_ref, *, depth):
-    mip_tab = mip_ref[0, 0]  # (rows, 128)
-    ctx = ctx_ref[0]  # (E, 1) i32
-    thresh = thresh_ref[0]
-    last = last_ref[0]
-    e = ctx.shape[0]
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (e, LANES), 1)
-    node = jnp.zeros((e, 1), jnp.int32)
-    done = jnp.zeros((e, 1), jnp.bool_)
-
-    for step in range(depth):
-        hi_rows = _STEP_ROWS[step] if step < len(_STEP_ROWS) else mip_tab.shape[0]
-        lo = node & (LANES - 1)
-        if hi_rows == 1:
-            rows = mip_tab[0:1, :]  # (1, 128) broadcasts over E
-            pos_f = jnp.sum(jnp.where(lane == lo, rows, 0.0), axis=1, keepdims=True)
-        else:
-            hi = node >> 7
-            hi_iota = jax.lax.broadcasted_iota(jnp.int32, (e, hi_rows), 1)
-            onehot_hi = jnp.where(hi_iota == hi, 1.0, 0.0).astype(jnp.float32)
-            rows = jnp.dot(
-                onehot_hi, mip_tab[0:hi_rows, :], preferred_element_type=jnp.float32
-            )
-            pos_f = jnp.sum(jnp.where(lane == lo, rows, 0.0), axis=1, keepdims=True)
-        pos = pos_f.astype(jnp.int32)
-        avail = pos >= thresh
-        b = (ctx >> (2 * jnp.maximum(pos, 0))) & 3
-        child = 4 * node + b + 1
-        node = jnp.where(done | ~avail, node, child)
-        done = done | ~avail
-
-    # final prob: one-hot over (hi, last) against (rows*4, 128) table
-    n_rows4 = probs_hi_ref.shape[2]
-    hi4 = (node >> 7) * 4 + last
-    lo = node & (LANES - 1)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (e, n_rows4), 1)
-    onehot = jnp.where(hi_iota == hi4, 1.0, 0.0).astype(jnp.float32)
-    # DEFAULT TPU f32 dot is one-pass bf16 — fine for the mip picks (small
-    # ints, bf16-exact) but it would quantize the probabilities. Use a
-    # manual bf16x2 split (hi + residual) — two one-pass matmuls recover
-    # f32-grade values at 1/3 the cost of Precision.HIGHEST.
-    rows = jnp.dot(
-        onehot, probs_hi_ref[0, 0], preferred_element_type=jnp.float32
-    ) + jnp.dot(onehot, probs_lo_ref[0, 0], preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.sum(jnp.where(lane == lo, rows, 0.0), axis=1, keepdims=True)
+    # bf16x2 split packed into one int32: hi = bf16(p) in bits 31..16,
+    # lo = bf16(p - hi) in bits 15..0. f32(bf16 bits b) = bits b << 16, so
+    # the unpack is (x & ~0xffff) and (x << 16), bitcast to f32, summed.
+    hi = probs_t.astype(ml_dtypes.bfloat16)
+    lo = (probs_t - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    packed = (
+        (hi.view(np.uint16).astype(np.uint32) << 16)
+        | lo.view(np.uint16).astype(np.uint32)
+    ).view(np.int32)
+    return level_mip, packed
 
 
-@functools.partial(jax.jit, static_argnames=("model_len", "depth", "interpret"))
+def _row_gather(tab, r0, rows, idx_lane, idx_row, init, shape):
+    """out[s,l] = tab[r0 + idx_row[s,l], idx_lane[s,l]] via select-loop."""
+    out = init
+    for r in range(rows):
+        rowb = jnp.broadcast_to(tab[r0 + r : r0 + r + 1, :], shape)
+        g = jnp.take_along_axis(rowb, idx_lane, axis=1)
+        out = g if (rows == 1 and init is None) else jnp.where(idx_row == r, g, out)
+    return out
+
+
+def _walk_kernel(
+    level_mip_ref, probs_pk_ref, ctx_ref, thresh_ref, last_ref, out_ref, *, depth, groups, s_grp
+):
+    """Walk ``groups`` independent (s_grp, 128) position groups level-
+    synchronized, so the per-level gather->arith dependency chains of the
+    groups interleave and hide the dynamic-gather latency (the single-group
+    walk is latency-bound, not throughput-bound)."""
+    lm = level_mip_ref[0, 0]  # (LR, 128) i32
+    pk = probs_pk_ref[0, 0]  # (rows*4, 128) i32
+    g_slice = lambda ref, g: ref[0][g * s_grp : (g + 1) * s_grp, :]
+    ctxs = [g_slice(ctx_ref, g) for g in range(groups)]
+    threshs = [g_slice(thresh_ref, g) for g in range(groups)]
+    lasts = [g_slice(last_ref, g) for g in range(groups)]
+    shape = (s_grp, LANES)
+
+    nodes = [jnp.zeros(shape, jnp.int32) for _ in range(groups)]
+    dones = [jnp.zeros(shape, dtype=jnp.bool_) for _ in range(groups)]
+    lrows = _level_rows(depth)
+    off = 0
+    for k in range(depth):
+        base_k = (4**k - 1) // 3
+        poss = []
+        for g in range(groups):
+            o = nodes[g] - base_k
+            lane_idx = o & (LANES - 1)
+            if lrows[k] == 1:
+                poss.append(_row_gather(lm, off, 1, lane_idx, None, None, shape))
+            else:
+                poss.append(
+                    _row_gather(
+                        lm, off, lrows[k], lane_idx, o >> 7,
+                        jnp.full(shape, -1, jnp.int32), shape,
+                    )
+                )
+        off += lrows[k]
+        for g in range(groups):
+            avail = poss[g] >= threshs[g]
+            b = (ctxs[g] >> (2 * jnp.maximum(poss[g], 0))) & 3
+            child = 4 * nodes[g] + b + 1
+            nodes[g] = jnp.where(dones[g] | ~avail, nodes[g], child)
+            dones[g] = dones[g] | ~avail
+
+    # final prob: packed bf16x2 gather over (node>>7)*4 + last rows
+    outs = []
+    for g in range(groups):
+        hi4 = (nodes[g] >> 7) * 4 + lasts[g]
+        lo = nodes[g] & (LANES - 1)
+        acc = _row_gather(pk, 0, pk.shape[0], lo, hi4, jnp.zeros(shape, jnp.int32), shape)
+        hi_f = jax.lax.bitcast_convert_type(acc & jnp.int32(-65536), jnp.float32)
+        lo_f = jax.lax.bitcast_convert_type(acc << 16, jnp.float32)
+        outs.append(hi_f + lo_f)
+    out_ref[0, 0] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_len", "depth", "interpret", "e_block", "groups")
+)
 def bank_score_reads_pallas(
-    mip_t,  # (M, P, rows, 128) f32 from pack_tables
-    probs_hi,  # (M, P, rows*4, 128) bf16
-    probs_lo,  # (M, P, rows*4, 128) bf16
+    level_mip,  # (M, P, LR, 128) i32 from pack_tables
+    probs_pk,  # (M, P, rows*4, 128) i32 packed bf16x2
     reads,  # (B, L) int32, L % 3 == 0
     lengths,  # (B,)
     model_len: int = 12,
     depth: int = 7,
     interpret: bool = False,
+    e_block: int | None = None,
+    groups: int = GROUPS,
 ):
     """(B, M) total log-prob of each read under each bank model (frame 0)."""
-    m, p, rows, _ = mip_t.shape
+    e_blk = (E_BLOCK if e_block is None else e_block) * groups
+    assert e_blk % (LANES * groups) == 0
+    s_blk = e_blk // LANES
+    s_grp = s_blk // groups
+    m, p, lr, _ = level_mip.shape
     b, l = reads.shape
     if l % 3 != 0:
         raise ValueError("pad read length to a multiple of 3")
@@ -155,13 +208,13 @@ def bank_score_reads_pallas(
         return x[:, f::3].reshape(-1)  # (B * l3,)
 
     e_total = b * l3
-    pad_e = (-e_total) % E_BLOCK
-    n_blocks = (e_total + pad_e) // E_BLOCK
+    pad_e = (-e_total) % e_blk
+    n_blocks = (e_total + pad_e) // e_blk
 
     def prep(x):
         out = jnp.stack([phase(x, f) for f in range(3)])  # (3, E)
         out = jnp.pad(out, ((0, 0), (0, pad_e)))
-        return out.reshape(3, n_blocks * E_BLOCK, 1)
+        return out.reshape(3, n_blocks * s_blk, LANES)
 
     ctx_p = prep(ctx)
     thr_p = prep(thresh)
@@ -169,31 +222,30 @@ def bank_score_reads_pallas(
 
     grid = (m, 3, n_blocks)
     out = pl.pallas_call(
-        functools.partial(_walk_kernel, depth=depth),
+        functools.partial(_walk_kernel, depth=depth, groups=groups, s_grp=s_grp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, rows, LANES), lambda mm, ff, bb: (mm, ff, 0, 0),
+            pl.BlockSpec((1, 1, lr, LANES), lambda mm, ff, bb: (mm, ff, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows * 4, LANES), lambda mm, ff, bb: (mm, ff, 0, 0),
+            pl.BlockSpec((1, 1, probs_pk.shape[2], LANES),
+                         lambda mm, ff, bb: (mm, ff, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows * 4, LANES), lambda mm, ff, bb: (mm, ff, 0, 0),
+            pl.BlockSpec((1, s_blk, LANES), lambda mm, ff, bb: (ff, bb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E_BLOCK, 1), lambda mm, ff, bb: (ff, bb, 0),
+            pl.BlockSpec((1, s_blk, LANES), lambda mm, ff, bb: (ff, bb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E_BLOCK, 1), lambda mm, ff, bb: (ff, bb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E_BLOCK, 1), lambda mm, ff, bb: (ff, bb, 0),
+            pl.BlockSpec((1, s_blk, LANES), lambda mm, ff, bb: (ff, bb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, E_BLOCK, 1), lambda mm, ff, bb: (mm, ff, bb, 0),
+            (1, 1, s_blk, LANES), lambda mm, ff, bb: (mm, ff, bb, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((m, 3, n_blocks * E_BLOCK, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, 3, n_blocks * s_blk, LANES), jnp.float32),
         interpret=interpret,
-    )(mip_t, probs_hi, probs_lo, ctx_p, thr_p, last_p)
+    )(level_mip, probs_pk, ctx_p, thr_p, last_p)
 
-    out = out[:, :, :e_total, 0].reshape(m, 3, b, l3)
+    out = out.reshape(m, 3, n_blocks * e_blk)[:, :, :e_total].reshape(m, 3, b, l3)
     # re-apply validity and sum positions + frames
     valid3 = jnp.stack([valid[:, f::3] for f in range(3)])  # (3, B, l3)
     scores = jnp.sum(out * valid3[None], axis=(1, 3))  # (M, B)

@@ -85,13 +85,13 @@ def em_step(
 
 
 @functools.partial(jax.jit, static_argnames=("model_len", "depth"))
-def classify_step_pallas(mip_t, probs_hi, probs_lo, reads, lengths, model_len=12, depth=7):
-    """classify_step through the Pallas MXU walk kernel (TPU fast path)."""
+def classify_step_pallas(level_mip, probs_pk, reads, lengths, model_len=12, depth=7):
+    """classify_step through the Pallas lane-gather walk kernel (TPU fast path)."""
     from ..ops.icm_pallas import bank_score_reads_pallas
 
-    fwd = bank_score_reads_pallas(mip_t, probs_hi, probs_lo, reads, lengths, model_len, depth)
+    fwd = bank_score_reads_pallas(level_mip, probs_pk, reads, lengths, model_len, depth)
     rc = revcomp_reads(reads, lengths)
-    rev = bank_score_reads_pallas(mip_t, probs_hi, probs_lo, rc, lengths, model_len, depth)
+    rev = bank_score_reads_pallas(level_mip, probs_pk, rc, lengths, model_len, depth)
     scores = jnp.maximum(fwd, rev)
     return scores, jnp.argmax(scores, axis=1).astype(jnp.int32)
 
