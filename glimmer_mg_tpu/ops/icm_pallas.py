@@ -17,11 +17,13 @@ lane-wise dynamic gather (``jnp.take_along_axis(table_row, idx, axis=1)``):
     46 gathers total per walk) with the level-local offset o = node - base_k
     (o' = 4*o + b mirrors child = 4*node + b + 1, icm.cc:580).
   * The final probability lookup addresses (node, predicted base) =
-    21845*4 entries as 684 rows x 128 lanes: a select-loop of one gather +
-    one compare per row. Each entry packs the bf16x2 split of the f32
-    log-prob into one int32 word (hi bits 31..16, residual lo bits 15..0),
-    so f32-grade values cost a single 32-bit gather; the unpack is two
-    bitcasts and an add.
+    21845*4 entries as a select-loop of one gather + one compare per row.
+    Each int32 entry packs TWO 16-bit fixed-point log-probs (scale 1/256
+    over [-128, 0], bases 2k and 2k+1 of one node), so the loop covers
+    342 rows x 128 lanes — the row count, not the unpack, is the cost.
+    Quantization error is <=2^-9 per base -> ~2e-5 relative on a 500 bp
+    read total, far inside the classification argmax margins (the exact
+    path for score parity is ops/icm_score.py).
   * Pruned-node backup (mip == -2 -> parent, icm.cc:590) is folded into the
     prob table at build time (pruned rows get their parent's probs), which
     also handles walks that stop ON a pruned node.
@@ -46,6 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 E_BLOCK = 1024  # positions per walk group (tuned on v5e)
 GROUPS = 8  # level-synchronized groups per kernel instance (latency hiding)
+# fixed-point scale for packed log-probs: 16-bit signed, range [-128, 0],
+# quantization step 1/512 after round-to-nearest
+FIXED_SCALE = 256.0
 
 
 def _level_rows(depth: int) -> list[int]:
@@ -56,13 +61,13 @@ def _level_rows(depth: int) -> list[int]:
 def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray, depth: int = 7):
     """(M, P, N) mip + (M, P, N, 4) probs -> kernel tables.
 
-    Returns (level_mip (M, P, LR, 128) int32, probs_pk (M, P, rows*4, 128)
-    int32) where LR = sum of per-level row counts and probs_pk packs the
-    bf16x2 split of each log-prob into one int32
-    (probs_pk[:, :, hi*4 + base, lo] <-> logprob[node = hi*128 + lo, base]).
+    Returns (level_mip (M, P, LR, 128) int32, probs_pk (M, P, rows*2, 128)
+    int32) where LR = sum of per-level row counts and probs_pk packs two
+    16-bit fixed-point log-probs per int32 (scale FIXED_SCALE, clamped to
+    [-128, 0]): probs_pk[:, :, hi*2 + (base>>1), lo] holds base 2(base>>1)
+    in bits 15..0 and base 2(base>>1)+1 in bits 31..16 for
+    node = hi*128 + lo.
     """
-    import ml_dtypes
-
     m, p, n = bank_mip.shape
     rows = (n + LANES - 1) // LANES
     pad_n = rows * LANES
@@ -88,18 +93,15 @@ def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray, depth: int = 7):
 
     probs_pad = np.zeros((m, p, pad_n, 4), dtype=np.float32)
     probs_pad[:, :, :n] = probs_eff
-    # [m, p, hi, lo, base] -> [m, p, hi*4+base, lo]
+    # [m, p, hi, lo, base] -> [m, p, hi*2 + base>>1, lo] with two int16
+    # fixed-point values per int32 (even base low half, odd base high half).
     probs_t = probs_pad.reshape(m, p, rows, LANES, 4).transpose(0, 1, 2, 4, 3)
-    probs_t = probs_t.reshape(m, p, rows * 4, LANES)
-    # bf16x2 split packed into one int32: hi = bf16(p) in bits 31..16,
-    # lo = bf16(p - hi) in bits 15..0. f32(bf16 bits b) = bits b << 16, so
-    # the unpack is (x & ~0xffff) and (x << 16), bitcast to f32, summed.
-    hi = probs_t.astype(ml_dtypes.bfloat16)
-    lo = (probs_t - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    packed = (
-        (hi.view(np.uint16).astype(np.uint32) << 16)
-        | lo.view(np.uint16).astype(np.uint32)
-    ).view(np.int32)
+    q = np.clip(np.rint(probs_t * FIXED_SCALE), -32768, 0).astype(np.int64)
+    even = q[:, :, :, 0::2]  # bases 0, 2 -> pairs 0, 1
+    odd = q[:, :, :, 1::2]
+    packed = ((odd << 16) | (even & 0xFFFF)).astype(np.int32)
+    # [m, p, rows, 2 pairs, lanes] -> [m, p, rows*2, lanes]
+    packed = packed.reshape(m, p, rows * 2, LANES)
     return level_mip, packed
 
 
@@ -121,7 +123,7 @@ def _walk_kernel(
     groups interleave and hide the dynamic-gather latency (the single-group
     walk is latency-bound, not throughput-bound)."""
     lm = level_mip_ref[0, 0]  # (LR, 128) i32
-    pk = probs_pk_ref[0, 0]  # (rows*4, 128) i32
+    pk = probs_pk_ref[0, 0]  # (rows*2, 128) i32
     g_slice = lambda ref, g: ref[0][g * s_grp : (g + 1) * s_grp, :]
     ctxs = [g_slice(ctx_ref, g) for g in range(groups)]
     threshs = [g_slice(thresh_ref, g) for g in range(groups)]
@@ -155,15 +157,15 @@ def _walk_kernel(
             nodes[g] = jnp.where(dones[g] | ~avail, nodes[g], child)
             dones[g] = dones[g] | ~avail
 
-    # final prob: packed bf16x2 gather over (node>>7)*4 + last rows
+    # final prob: fixed16x2 gather over (node>>7)*2 + (last>>1) rows, then
+    # pick the 16-bit half by last&1 (arithmetic shifts sign-extend)
     outs = []
     for g in range(groups):
-        hi4 = (nodes[g] >> 7) * 4 + lasts[g]
+        hi2 = (nodes[g] >> 7) * 2 + (lasts[g] >> 1)
         lo = nodes[g] & (LANES - 1)
-        acc = _row_gather(pk, 0, pk.shape[0], lo, hi4, jnp.zeros(shape, jnp.int32), shape)
-        hi_f = jax.lax.bitcast_convert_type(acc & jnp.int32(-65536), jnp.float32)
-        lo_f = jax.lax.bitcast_convert_type(acc << 16, jnp.float32)
-        outs.append(hi_f + lo_f)
+        acc = _row_gather(pk, 0, pk.shape[0], lo, hi2, jnp.zeros(shape, jnp.int32), shape)
+        half = jnp.where((lasts[g] & 1) == 1, acc >> 16, (acc << 16) >> 16)
+        outs.append(half.astype(jnp.float32) * jnp.float32(1.0 / FIXED_SCALE))
     out_ref[0, 0] = jnp.concatenate(outs, axis=0)
 
 
@@ -172,7 +174,7 @@ def _walk_kernel(
 )
 def bank_score_reads_pallas(
     level_mip,  # (M, P, LR, 128) i32 from pack_tables
-    probs_pk,  # (M, P, rows*4, 128) i32 packed bf16x2
+    probs_pk,  # (M, P, rows*2, 128) i32 packed fixed16x2
     reads,  # (B, L) int32, L % 3 == 0
     lengths,  # (B,)
     model_len: int = 12,

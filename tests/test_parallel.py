@@ -37,7 +37,10 @@ def test_pallas_kernel_interpret(golden):
             for r, l in zip(reads, lengths)
         ]
     )
-    np.testing.assert_allclose(got, want, atol=2e-3)
+    # fixed16 packing quantizes each per-base log-prob to 1/FIXED_SCALE with
+    # round-to-nearest: per-read worst case is lengths/(2*FIXED_SCALE)
+    bound = lengths[:, None] / (2 * icm_pallas.FIXED_SCALE)
+    assert (np.abs(got - want) <= bound).all(), np.abs(got - want).max()
 
 
 def test_revcomp_reads():
