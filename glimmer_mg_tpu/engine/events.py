@@ -15,9 +15,10 @@ Precision notes: event scores are C doubles, but Process_Fwd_Start_Rev_Stop
 compares candidates in *float32* (`float this_score, max_score`), and the
 adjacency model scores are float32 — all mirrored here with np.float32.
 
-This host implementation is the exactness oracle used for whole-genome
-(glimmer3) prediction; short-read batches (glimmer-mg) additionally get a
-vectorized device path built on the same event semantics.
+This host implementation is the exact engine for both whole-genome
+(glimmer3) and per-read (glimmer-mg) prediction. The glimmer-mg path feeds
+it device-precomputed 6-frame LLR arrays (ops/icm_score.mg_six_frame_batch);
+the event DP itself runs on host.
 """
 
 from __future__ import annotations

@@ -15,12 +15,19 @@ Reference: src/Glimmer/glimmer-mg.cc. Differences from the glimmer3 engine:
   * .predict rows carry I:/D:/S: error coordinates (``Trace_Back``, 1909).
 
 The per-base LLR precompute is the TPU-hot path: it is exactly
-6 fixed-frame ICM walks over the read (ops/icm_score.per_base_logprob with
-cycle=False), batched over reads on device; this module consumes those
-per-base arrays and runs the exact event semantics on host.
+6 fixed-frame ICM walks over the read (ops/icm_score.mg_six_frame_batch)
+for both the gene and null ICMs. ``run_glimmer_mg`` /
+``run_glimmer_mg_classes`` process reads in chunks: one jitted device call
+per chunk computes every read's 6-frame per-base table reads (grouped by
+model via a stacked bank + per-read bank index), the host forms the f64
+gene-minus-null LLRs (bitwise equal to the scalar walk), and the exact
+event semantics run on host per read. Set GLIMMER_MG_TPU_HOST_PRECOMPUTE=1
+(or device_precompute=False) to force the numpy mirror.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -89,30 +96,126 @@ def clean_quality_454(seq: str, quals: list[int]) -> list[int]:
     return qv
 
 
+def host_frame_scores(models: Models, seq_idx: np.ndarray) -> np.ndarray:
+    """Score_All_Frames (mg.cc:1468) on host via the numpy walk mirror —
+    the parity oracle for the device batch path."""
+    n = len(seq_idx)
+    frame_scores = np.zeros((6, n), dtype=np.float64)
+    # forward frames from the reversed sequence…
+    rev = seq_idx[::-1]
+    for f in range(3):
+        g = icm_mod.per_base_logprob_vec(models.gene_icm, rev, f, cycle=False)
+        nn = icm_mod.per_base_logprob_vec(models.indep_model, rev, f, cycle=False)
+        frame_scores[f] = g.astype(np.float64)[::-1] - nn.astype(np.float64)[::-1]
+    # …reverse frames from the complemented (unreversed) sequence.
+    comp = dna.COMPLEMENT_INDEX[seq_idx]
+    for f in range(3):
+        g = icm_mod.per_base_logprob_vec(models.gene_icm, comp, f, cycle=False)
+        nn = icm_mod.per_base_logprob_vec(models.indep_model, comp, f, cycle=False)
+        frame_scores[3 + f] = g.astype(np.float64) - nn.astype(np.float64)
+    return frame_scores
+
+
+def _bucket(x: int, step: int = 256) -> int:
+    return max(step, -(-x // step) * step)
+
+
+def device_frame_scores(jobs) -> list[np.ndarray] | None:
+    """Batched Score_All_Frames on device for ``jobs`` = [(models, seq_idx)].
+
+    Groups jobs by model pair into a stacked bank, pads reads/batch/bank to
+    bucketed shapes (so jit caches stay warm), runs ONE device call, and
+    forms the f64 LLRs on host. Returns None when the jobs cannot share one
+    kernel instance (mixed model_len/periodicity) — callers fall back to
+    ``host_frame_scores``.
+    """
+    import jax
+
+    from ..ops import icm_score
+
+    if not jobs:
+        return []
+    model_ids: dict[int, int] = {}
+    gene_list, indep_list = [], []
+    group = np.zeros(len(jobs), dtype=np.int32)
+    for r, (models, _seq) in enumerate(jobs):
+        key = id(models)
+        gi = model_ids.get(key)
+        if gi is None:
+            gi = len(gene_list)
+            model_ids[key] = gi
+            gene_list.append(models.gene_icm)
+            indep_list.append(models.indep_model)
+        group[r] = gi
+
+    model_len = gene_list[0].model_len
+    periodicity = gene_list[0].periodicity
+    if any(m.model_len != model_len or m.periodicity != periodicity
+           for m in gene_list):
+        return None
+    depth = max(m.model_depth for m in gene_list)
+
+    gmip, gprobs = icm_score.stack_bank(gene_list)
+    imip, iprobs = icm_score.stack_bank(indep_list)
+    # pad the bank to a power of two so recompiles stay rare
+    g_pad = 1 << (len(gene_list) - 1).bit_length()
+    if g_pad > len(gene_list):
+        pad = g_pad - len(gene_list)
+        gmip = np.concatenate([gmip, np.repeat(gmip[:1], pad, 0)])
+        gprobs = np.concatenate([gprobs, np.repeat(gprobs[:1], pad, 0)])
+        imip = np.concatenate([imip, np.repeat(imip[:1], pad, 0)])
+        iprobs = np.concatenate([iprobs, np.repeat(iprobs[:1], pad, 0)])
+
+    lengths = np.array([len(s) for _, s in jobs], dtype=np.int32)
+    l_pad = _bucket(int(lengths.max(initial=1)))
+    b_pad = _bucket(len(jobs), 64)
+    reads = np.zeros((b_pad, l_pad), dtype=np.int32)
+    for r, (_m, seq) in enumerate(jobs):
+        reads[r, : len(seq)] = seq
+    lens = np.zeros(b_pad, dtype=np.int32)
+    lens[: len(jobs)] = lengths
+    grp = np.zeros(b_pad, dtype=np.int32)
+    grp[: len(jobs)] = group
+
+    gene, ind = icm_score.mg_six_frame_batch(
+        gmip, gprobs, imip, iprobs, reads, lens, grp,
+        model_len=model_len, depth=depth, gene_periodicity=periodicity,
+    )
+    gene, ind = jax.device_get((gene, ind))
+
+    out = []
+    for r, (_m, seq) in enumerate(jobs):
+        n = len(seq)
+        fs = np.empty((6, n), dtype=np.float64)
+        for f in range(3):
+            fs[f] = (
+                gene[r, f, :n].astype(np.float64)
+                - ind[r, f, :n].astype(np.float64)
+            )[::-1]
+            fs[3 + f] = gene[r, 3 + f, :n].astype(np.float64) - ind[
+                r, 3 + f, :n
+            ].astype(np.float64)
+        out.append(fs)
+    return out
+
+
+def _use_device_precompute(device_precompute) -> bool:
+    if device_precompute is not None:
+        return bool(device_precompute)
+    return os.environ.get("GLIMMER_MG_TPU_HOST_PRECOMPUTE") != "1"
+
+
 class MgSequenceState:
     """Per-read precomputed state: 6-frame LLRs + stop indexes."""
 
-    def __init__(self, models: Models, seq_idx: np.ndarray):
+    def __init__(self, models: Models, seq_idx: np.ndarray, frame_scores=None):
         self.m = models
         self.seq = seq_idx
         n = len(seq_idx)
         self.n = n
-        self.frame_scores = np.zeros((6, n), dtype=np.float64)
-
-        # Score_All_Frames: forward frames from the reversed sequence…
-        rev = seq_idx[::-1]
-        for f in range(3):
-            g = icm_mod.per_base_logprob_vec(models.gene_icm, rev, f, cycle=False)
-            nn = icm_mod.per_base_logprob_vec(models.indep_model, rev, f, cycle=False)
-            self.frame_scores[f] = (
-                g.astype(np.float64)[::-1] - nn.astype(np.float64)[::-1]
-            )
-        # …reverse frames from the complemented (unreversed) sequence.
-        comp = dna.COMPLEMENT_INDEX[seq_idx]
-        for f in range(3):
-            g = icm_mod.per_base_logprob_vec(models.gene_icm, comp, f, cycle=False)
-            nn = icm_mod.per_base_logprob_vec(models.indep_model, comp, f, cycle=False)
-            self.frame_scores[3 + f] = g.astype(np.float64) - nn.astype(np.float64)
+        if frame_scores is None:
+            frame_scores = host_frame_scores(models, seq_idx)
+        self.frame_scores = frame_scores
 
         self._save_prev_stops()
 
@@ -395,38 +498,13 @@ def score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer):
 
 
 def predict_read(models: Models, seq: str, quals=None, *, allow_indels=False,
-                 allow_subs=False, have_qual_file=False):
+                 allow_subs=False, have_qual_file=False, frame_scores=None):
     """Full per-read pipeline; returns traced genes (with errors)."""
-    seq_idx = dna.encode(seq)
-    seq_str = dna.decode(seq_idx)
-    n = len(seq_idx)
-    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
-
-    if allow_indels:
-        if not have_qual_file or quals is None:
-            quals = set_quality_454(seq_str)
-        else:
-            quals = clean_quality_454(seq_str, quals)
-
-    orf_list = orf_mod.find_orfs(
-        masks,
-        models.patterns,
-        min_gene_len=models.min_gene_len,
-        allow_truncated=models.allow_truncated_orfs,
-        allow_indel_orfs=allow_indels or allow_subs,
-        min_indel_orf_len=MIN_INDEL_ORF_LEN,
-        circular=models.circular,
+    return _predict_read_with_models(
+        models, seq, quals, allow_indels=allow_indels, allow_subs=allow_subs,
+        have_qual_file=have_qual_file, frame_scores=frame_scores,
+        use_meta_pwms=False,
     )
-    state = MgSequenceState(models, seq_idx)
-    scorer = MgScorer(models, seq_str, seq_idx, state, quals,
-                      allow_indels=allow_indels, allow_subs=allow_subs,
-                      have_qual_file=have_qual_file)
-    engine = ev_mod.EventEngine(models, n)
-    pwm_scorer = PwmScorer(models, seq_idx)
-    score_orfs_errors(models, scorer, orf_list, engine, pwm_scorer)
-    engine.process_events()
-    final = engine.set_final_event()
-    return ev_mod.trace_back(final, n)
 
 
 class MetaPwmScorer:
@@ -516,6 +594,7 @@ def run_glimmer_mg_classes(
     allow_subs: bool = False,
     circular: bool = False,
     user_stop_codons=None,
+    device_precompute=None,
 ):
     """glimmer-mg classification mode (-c): per-read model parameterization.
 
@@ -583,11 +662,36 @@ def run_glimmer_mg_classes(
             if p in by_prefix
         ]
 
+    use_device = _use_device_precompute(device_precompute)
+    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
+    pending: list = []  # (header, seq_idx or None, models, quals, have_qual)
+
+    def _flush():
+        jobs = [(m, s) for _h, s, m, _q, _hq in pending if m is not None]
+        fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
+        ji = 0
+        for header, seq_idx, models, quals, have_qual in pending:
+            if models is None:
+                yield header, []
+                continue
+            fs = None
+            if fs_list is not None:
+                fs = fs_list[ji]
+            ji += 1
+            yield header, _predict_read_with_models(
+                models, seq_idx, quals,
+                allow_indels=allow_indels, allow_subs=allow_subs,
+                have_qual_file=have_qual, frame_scores=fs,
+            )
+        pending.clear()
+
     for header, seq in iter_sequences:
         prefix = header.split()[0]
         classes = classifications.get(prefix)
         if classes is None or not classes:
-            yield header, []
+            pending.append((header, None, None, None, False))
+            if len(pending) >= chunk_size:
+                yield from _flush()
             continue
         n = len(seq)
 
@@ -713,17 +817,17 @@ def run_glimmer_mg_classes(
             quals = qualities.get(prefix)
             have_qual = quals is not None
 
-        yield header, _predict_read_with_models(
-            models, seq, quals,
-            allow_indels=allow_indels, allow_subs=allow_subs,
-            have_qual_file=have_qual,
-        )
+        pending.append((header, dna.encode(seq), models, quals, have_qual))
+        if len(pending) >= chunk_size:
+            yield from _flush()
+    yield from _flush()
 
 
 def _predict_read_with_models(models, seq, quals=None, *, allow_indels=False,
-                              allow_subs=False, have_qual_file=False):
+                              allow_subs=False, have_qual_file=False,
+                              frame_scores=None, use_meta_pwms=True):
     """predict_read but honoring models._meta_pwms for RBS scoring."""
-    seq_idx = dna.encode(seq)
+    seq_idx = dna.encode(seq) if isinstance(seq, (str, bytes)) else seq
     seq_str = dna.decode(seq_idx)
     n = len(seq_idx)
     masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
@@ -742,12 +846,12 @@ def _predict_read_with_models(models, seq, quals=None, *, allow_indels=False,
         min_indel_orf_len=MIN_INDEL_ORF_LEN,
         circular=models.circular,
     )
-    state = MgSequenceState(models, seq_idx)
+    state = MgSequenceState(models, seq_idx, frame_scores=frame_scores)
     scorer = MgScorer(models, seq_str, seq_idx, state, quals,
                       allow_indels=allow_indels, allow_subs=allow_subs,
                       have_qual_file=have_qual_file)
     engine = ev_mod.EventEngine(models, n)
-    meta_pwms = getattr(models, "_meta_pwms", None)
+    meta_pwms = getattr(models, "_meta_pwms", None) if use_meta_pwms else None
     if meta_pwms is not None:
         pwm_scorer = MetaPwmScorer(models, seq_idx, meta_pwms)
     else:
@@ -774,9 +878,9 @@ def run_glimmer_mg(
     circular: bool = False,
     start_codons=None,
     stop_codons=None,
+    device_precompute=None,
 ):
-    """glimmer-mg with a user ICM (-m mode; classification mode lives in
-    parallel/classify.py). Yields (header, [TracedGene])."""
+    """glimmer-mg with a user ICM (-m mode). Yields (header, [TracedGene])."""
     from .glimmer3 import gc_fraction, set_ignore_score_len
     from ..io import features_file
 
@@ -826,17 +930,32 @@ def run_glimmer_mg(
         models.logodds_pwm = rbs_pwm.make_log_odds_wrt_gc(gc_frac)
         models.user_rbs = True
 
+    use_device = _use_device_precompute(device_precompute)
+    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
+    pending: list = []
+
+    def _flush():
+        jobs = [(models, s) for _h, s, _q, _hq in pending]
+        fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
+        for ji, (header, seq_idx, quals, have_qual) in enumerate(pending):
+            fs = fs_list[ji] if fs_list is not None else None
+            yield header, predict_read(
+                models, seq_idx, quals,
+                allow_indels=allow_indels, allow_subs=allow_subs,
+                have_qual_file=have_qual, frame_scores=fs,
+            )
+        pending.clear()
+
     for header, seq in sequences:
         quals = None
         have_qual = False
         if qualities is not None:
             quals = qualities.get(header.split()[0])
             have_qual = quals is not None
-        yield header, predict_read(
-            models, seq, quals,
-            allow_indels=allow_indels, allow_subs=allow_subs,
-            have_qual_file=have_qual,
-        )
+        pending.append((header, dna.encode(seq), quals, have_qual))
+        if len(pending) >= chunk_size:
+            yield from _flush()
+    yield from _flush()
 
 
 def format_predict_mg(results) -> str:

@@ -46,17 +46,16 @@ def pack_contexts(base_idx: jnp.ndarray, model_len: int) -> jnp.ndarray:
 
 
 def _tree_walk(
-    mip_flat: jnp.ndarray,  # (P*N,) int32 — mut_info_pos per (frame, node)
+    mip_flat: jnp.ndarray,  # (... * P*N,) int32 — mut_info_pos per (frame, node)
     num_nodes: int,
     depth: int,
-    frame: jnp.ndarray,  # per-base frame, int32
+    base_off: jnp.ndarray,  # per-base flat table offset (frame*N, + bank offset)
     ctx: jnp.ndarray,  # per-base packed context, int32
     thresh: jnp.ndarray,  # per-base minimum usable window position, int32
 ) -> jnp.ndarray:
     """Masked unrolled walk; returns final node index per base."""
     node = jnp.zeros_like(ctx)
     done = jnp.zeros(ctx.shape, dtype=bool)
-    base_off = frame * num_nodes
     for _ in range(depth):
         pos = mip_flat[base_off + node]
         avail = pos >= thresh
@@ -99,7 +98,7 @@ def per_base_logprob(
     else:
         frame = jnp.full((n,), frame0, dtype=jnp.int32) % periodicity
 
-    node = _tree_walk(mip_flat, num_nodes, depth, frame, ctx, thresh)
+    node = _tree_walk(mip_flat, num_nodes, depth, frame * num_nodes, ctx, thresh)
     last = base_idx.astype(jnp.int32)
     return probs_flat[(frame * num_nodes + node) * 4 + last]
 
@@ -153,6 +152,89 @@ def bank_score_reads(
     # bank size (vmap over models made compile time scale with the bank).
     _, scores = jax.lax.scan(one_model, 0, (bank_mip, bank_probs))
     return scores.T
+
+
+# ---------------------------------------------------------------------------
+# glimmer-mg 6-frame per-base precompute (the per-read prediction hot path)
+# ---------------------------------------------------------------------------
+
+
+def _banked_logprob(mip_flat, probs_flat, num_nodes, periodicity, goff, seq,
+                    frame0: int, model_len: int, depth: int):
+    """Fixed-frame per-base log-probs of one sequence under one bank entry.
+
+    ``goff`` is the model's flat offset (g * periodicity * num_nodes) into
+    the stacked bank tables; gathers are exact f32 table reads, so results
+    are bitwise equal to the scalar walk (Frame_Score, icm.cc:485).
+    """
+    n = seq.shape[0]
+    ctx = pack_contexts(seq, model_len)
+    i = jnp.arange(n, dtype=jnp.int32)
+    thresh = jnp.maximum(0, (model_len - 1) - i)
+    f = frame0 % periodicity
+    base_off = goff + f * num_nodes
+    node = _tree_walk(mip_flat, num_nodes, depth, base_off, ctx, thresh)
+    last = seq.astype(jnp.int32)
+    return probs_flat[(base_off + node) * 4 + last]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_len", "depth", "gene_periodicity")
+)
+def mg_six_frame_batch(
+    gene_mip,  # (G, P, N) int — stacked gene ICM bank
+    gene_probs,  # (G, P, N, 4) f32
+    indep_mip,  # (G, 3, 21) int — per-model null ICMs (Build_Indep_WO_Stops)
+    indep_probs,  # (G, 3, 21, 4) f32
+    reads,  # (B, L) int32 padded base indices
+    lengths,  # (B,) int32
+    group,  # (B,) int32 — bank index of each read's model pair
+    model_len: int = 12,
+    depth: int = 7,
+    gene_periodicity: int = 3,
+):
+    """Batched Score_All_Frames (reference glimmer-mg.cc:1468) table reads.
+
+    Returns (gene (B, 6, L) f32, indep (B, 6, L) f32) per-base log-probs:
+    rows 0..2 are fixed frames 0..2 over the REVERSED read (positions
+    0..len-1 hold the reversed read; tail padding does not perturb them
+    because contexts only look backward), rows 3..5 are frames 0..2 over
+    the COMPLEMENTED read. The host computes the f64 gene-minus-null LLR
+    and the row reversals — bitwise identical to the per-read host mirror
+    (models.icm.per_base_logprob_vec).
+    """
+    g, p, n_nodes = gene_mip.shape
+    gm_flat = gene_mip.reshape(-1).astype(jnp.int32)
+    gp_flat = gene_probs.reshape(-1)
+    im_flat = indep_mip.reshape(-1).astype(jnp.int32)
+    ip_flat = indep_probs.reshape(-1)
+    n2 = indep_mip.shape[2]
+
+    b, l = reads.shape
+    reads32 = reads.astype(jnp.int32)
+    i = jnp.arange(l, dtype=jnp.int32)
+    ridx = lengths[:, None] - 1 - i[None, :]
+    rev = jnp.where(
+        ridx >= 0, jnp.take_along_axis(reads32, jnp.maximum(ridx, 0), axis=1), 0
+    )
+    comp = jnp.where(i[None, :] < lengths[:, None], 3 - reads32, 0)
+
+    def one(seq_rev, seq_comp, gi):
+        goff_g = gi * p * n_nodes
+        goff_i = gi * 3 * n2
+        gout, iout = [], []
+        for seq in (seq_rev, seq_comp):
+            for f in range(3):
+                gout.append(
+                    _banked_logprob(gm_flat, gp_flat, n_nodes, gene_periodicity,
+                                    goff_g, seq, f, model_len, depth)
+                )
+                iout.append(
+                    _banked_logprob(im_flat, ip_flat, n2, 3, goff_i, seq, f, 3, 2)
+                )
+        return jnp.stack(gout), jnp.stack(iout)
+
+    return jax.vmap(one)(rev, comp, group.astype(jnp.int32))
 
 
 def stack_bank(icms) -> tuple[np.ndarray, np.ndarray]:

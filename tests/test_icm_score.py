@@ -131,3 +131,47 @@ def test_bank_scoring_shapes(golden):
         model = [golden, other][m]
         want = icm_mod.score_string(model, reads[b][: lengths[b]], 0)
         np.testing.assert_allclose(float(scores[b, m]), want, rtol=0, atol=2e-3)
+
+
+def test_mg_six_frame_device_matches_host(golden):
+    """Batched device Score_All_Frames precompute is bitwise equal to the
+    host numpy mirror, across mixed lengths, models, and chunk padding."""
+    from glimmer_mg_tpu.engine import glimmer_mg as mg
+    from glimmer_mg_tpu.engine import orfs as orf_mod
+    from glimmer_mg_tpu.engine.glimmer3 import Models
+
+    rng = np.random.default_rng(11)
+    patterns = orf_mod.CodonPatterns.make(None, None)
+
+    def make_models(gc):
+        indep = icm_mod.build_indep_wo_stops(gc, patterns.stop_codons)
+        return Models(
+            gene_icm=golden, indep_model=indep, patterns=patterns,
+            indep_gc_frac=gc, min_gene_len=75, max_olap_bases=50,
+            allow_truncated_orfs=True, circular=False,
+        )
+
+    m1, m2 = make_models(0.41), make_models(0.62)
+    jobs = []
+    for i, s in enumerate(_rand_seqs(rng, 9, lo=5, hi=700)):
+        jobs.append((m1 if i % 2 else m2, dna.encode(s)))
+    dev = mg.device_frame_scores(jobs)
+    for j, (m, s) in enumerate(jobs):
+        host = mg.host_frame_scores(m, s)
+        assert np.array_equal(dev[j], host), f"read {j} mismatch"
+
+
+def test_run_glimmer_mg_chunking_invariant(golden, monkeypatch):
+    """Output is identical whatever the device-chunk size (boundary safety)."""
+    from glimmer_mg_tpu.engine import glimmer_mg as mg
+
+    rng = np.random.default_rng(12)
+    seqs = [(f"r{i}", s) for i, s in enumerate(_rand_seqs(rng, 7, lo=80, hi=900))]
+    monkeypatch.setenv("GLIMMER_MG_TPU_CHUNK", "3")
+    small = mg.format_predict_mg(list(mg.run_glimmer_mg(seqs, golden)))
+    monkeypatch.setenv("GLIMMER_MG_TPU_CHUNK", "256")
+    big = mg.format_predict_mg(list(mg.run_glimmer_mg(seqs, golden)))
+    host = mg.format_predict_mg(
+        list(mg.run_glimmer_mg(seqs, golden, device_precompute=False))
+    )
+    assert small == big == host
