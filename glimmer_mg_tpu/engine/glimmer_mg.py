@@ -221,32 +221,43 @@ class MgSequenceState:
 
     def _save_prev_stops(self):
         """Save_Prev_Stops (mg.cc:675): per-position previous fwd stop / next
-        rev stop in the position's frame (0-based codon-boundary indexes)."""
+        rev stop in the position's frame (0-based codon-boundary indexes).
+        Vectorized as per-frame running max/min scans."""
         n = self.n
         masks = np.array([1, 2, 4, 8], dtype=np.uint8)[self.seq]
         cod = dna.codon12_stream(masks)
         fwd_stop = dna.must_be(cod, self.m.patterns.fwd_stop)
-        idx = np.arange(n)
 
         self.fwd_prev = np.empty(n, dtype=np.int64)
-        last = [0, 1, -1]
-        for i in range(n):
-            f = i % 3
-            if i >= 2 and fwd_stop[i]:
-                last[f] = i
-            self.fwd_prev[i] = last[f]
+        init_f = (0, 1, -1)
+        for f in range(3):
+            idx = np.arange(f, n, 3)
+            if len(idx) == 0:
+                continue
+            hit = (idx >= 2) & fwd_stop[idx]
+            vals = np.where(hit, idx, np.int64(-(10**9)))
+            run = np.maximum.accumulate(
+                np.concatenate(([np.int64(init_f[f])], vals))
+            )[1:]
+            self.fwd_prev[idx] = run
 
         # reverse: stops detected scanning right-to-left over revcomp codons;
         # a rev stop with 0-based first base i is flagged by rev_stop[i+2]
         # in the forward codon stream.
         rev_stop = dna.must_be(cod, self.m.patterns.rev_stop)
         self.rev_next = np.empty(n, dtype=np.int64)
-        last = [n - 1, n - 2, n]
-        for i in range(n - 1, -1, -1):
-            f = (n - 1 - i) % 3
-            if i <= n - 3 and rev_stop[i + 2]:
-                last[f] = i
-            self.rev_next[i] = last[f]
+        init_r = (n - 1, n - 2, n)
+        for f in range(3):
+            # i with (n-1-i) % 3 == f, scanned right-to-left
+            idx = np.arange(n - 1 - f, -1, -3)
+            if len(idx) == 0:
+                continue
+            hit = (idx <= n - 3) & rev_stop[np.minimum(idx + 2, n - 1)]
+            vals = np.where(hit, idx, np.int64(10**9))
+            run = np.minimum.accumulate(
+                np.concatenate(([np.int64(init_r[f])], vals))
+            )[1:]
+            self.rev_next[idx] = run
 
     def fwd_prev_stop(self, end_point: int) -> int:
         if 0 <= end_point < self.n:
@@ -396,45 +407,86 @@ class MgScorer:
             for pi in range(len(m.patterns.fwd_start) - 1, -1, -1):
                 hit = dna.can_be(cod, m.patterns.fwd_start[pi : pi + 1])
                 whichs[hit] = pi
+        # Sparse rewrite of the reference's dense descending-j scan
+        # (glimmer-mg.cc:1769-1860): only positions that can actually fire —
+        # possible starts (j % 3 == 0, Can_Be, length bound) and low-quality
+        # indel-branch bases — are visited, in the exact original order
+        # (indel branch before the start at equal j; the truncated-ORF
+        # "first position counts even without a start codon" rule tracked
+        # via first_pos exactly as the dense loop does).
         lowest_j = min(3, m.min_gene_len - 3)
         first_pos = 0
-        kk = k
-        for j in range(mm - 1, lowest_j - 1, -1):
-            if (
-                self.allow_indels
-                and bq is not None
-                and bq[j] <= INDEL_QUALITY_THRESHOLD
-                and len(errors) < INDEL_MAX
-            ):
+        dir_ = 1 if frame > 0 else -1
+
+        if mm:
+            min_j = max(lowest_j, m.min_gene_len - 3 - suffix_j)
+            top_j = ((mm - 1) // 3) * 3
+            start_j = np.arange(top_j, min_j - 1, -3, dtype=np.int64)
+            can_pos = (
+                np.nonzero(can_any[start_j])[0] if len(start_j)
+                else np.zeros(0, dtype=np.int64)
+            )
+        else:
+            top_j = -1
+            start_j = np.zeros(0, dtype=np.int64)
+            can_pos = np.zeros(0, dtype=np.int64)
+
+        if (self.allow_indels and bq is not None and len(errors) < INDEL_MAX
+                and mm):
+            bq_arr = np.asarray(bq, dtype=np.int64)
+            ij = np.nonzero(bq_arr <= INDEL_QUALITY_THRESHOLD)[0]
+            ij = ij[ij >= lowest_j][::-1]  # descending j
+        else:
+            bq_arr = None
+            ij = np.zeros(0, dtype=np.int64)
+
+        si = 0  # next unconsidered index into start_j (descending)
+        ci = 0  # pointer into can_pos
+        ii = 0  # pointer into ij
+        n_start = len(start_j)
+        n_can = len(can_pos)
+        n_ij = len(ij)
+        while True:
+            ns = -1
+            if si < n_start:
+                if first_pos == 0 and orf_is_truncated:
+                    ns = int(start_j[si])
+                else:
+                    while ci < n_can and can_pos[ci] < si:
+                        ci += 1
+                    if ci < n_can:
+                        ns = int(start_j[can_pos[ci]])
+            ni = int(ij[ii]) if ii < n_ij else -1
+            if ns < 0 and ni < 0:
+                break
+            if ni >= 0 and ni >= ns:  # indel branch fires before the start
+                j = ni
+                ii += 1
+                kk = k + dir_ * (mm - 1 - j)
                 self._score_indels(
                     orf, start_list, errors, suffix_score, suffix_j, score,
-                    bq[j], kk, j,
+                    int(bq_arr[j]), kk, j,
                 )
-            if (
-                j % 3 == 0
-                and (can_any[j] or (first_pos == 0 and orf_is_truncated))
-                and j + 3 + suffix_j >= m.min_gene_len
-            ):
-                which = int(whichs[j])
-                next_s = float(score[j - 1])
-                first_flag = first_pos == 0
-                base = Start(
-                    j + 2 + suffix_j, kk, next_s + suffix_score, first_flag,
-                    which, which < 0, tuple(errors),
+                continue
+            j = ns
+            si = (top_j - j) // 3 + 1  # index of j in start_j, advanced past
+            kk = k + dir_ * (mm - 1 - j)
+            which = int(whichs[j])
+            next_s = float(score[j - 1])
+            first_flag = first_pos == 0
+            base = Start(
+                j + 2 + suffix_j, kk, next_s + suffix_score, first_flag,
+                which, which < 0, tuple(errors),
+            )
+            if which >= 0 and first_pos == 0 and orf_is_truncated:
+                start_list.append(
+                    Start(base.j, kk, base.score, first_flag, -1, True,
+                          tuple(errors))
                 )
-                if which >= 0 and first_pos == 0 and orf_is_truncated:
-                    start_list.append(
-                        Start(base.j, kk, base.score, first_flag, -1, True,
-                              tuple(errors))
-                    )
-                    base.first = False
-                start_list.append(base)
-                if first_pos == 0:
-                    first_pos = kk
-            if frame > 0:
-                kk += 1
-            else:
-                kk -= 1
+                base.first = False
+            start_list.append(base)
+            if first_pos == 0:
+                first_pos = kk
 
     def _score_indels(self, orf, start_list, errors, suffix_score, suffix_j,
                       score, q, k, j):
@@ -523,16 +575,59 @@ class MetaPwmScorer:
         gc_log = math.log(0.5 * gc)
         at_log = math.log(0.5 * (1.0 - gc))
         self.nt_lp = np.array([at_log, gc_log, gc_log, at_log])
+        self._precompute()
 
-    def _window_score(self, window_idx) -> float:
-        import math
+    def _precompute(self) -> None:
+        """Vectorize the per-window mixture probabilities over the whole read.
 
-        cond = [float(np.prod(p.cols[np.arange(p.width), window_idx]))
-                for p in self.pwms]
-        gc_lp = float(self.nt_lp[window_idx].sum())
-        return math.log(sum(cond) / len(self.pwms)) - gc_lp
+        ``mix_fwd[lo]`` = mean over class PWMs of prod_j cols[j, seq[lo+j]]
+        (the value whose libm log the scalar scorer takes); ``gc_fwd[lo]`` =
+        the GC-background log-prob sum. The chained elementwise multiplies /
+        adds reproduce np.prod / .sum() over the 6-wide window bitwise
+        (sequential order below the pairwise-reduction blocksize), and the
+        log itself stays scalar math.log in fwd/rev_start, so scores are
+        bit-identical to the reference's per-window loop
+        (PWM_Meta_Score_Fwd/Rev_Start, glimmer-mg.cc:1900-2060)."""
+        self.mix_fwd = self.gc_fwd = self.mix_rev = self.gc_rev = None
+        if not self.pwms:
+            return
+        width = self.pwms[0].width
+        n = self.n
+        nw = n - width + 1
+        if nw <= 0:
+            return
+        s = self.seq.astype(np.int64)
+        comp = dna.COMPLEMENT_INDEX[self.seq].astype(np.int64)
+
+        acc = np.zeros(nw, dtype=np.float64)
+        for p in self.pwms:
+            prod = np.ones(nw, dtype=np.float64)
+            for j in range(width):
+                prod = prod * p.cols[j, s[j : j + nw]]
+            acc = acc + prod
+        self.mix_fwd = acc / len(self.pwms)
+        g = np.zeros(nw, dtype=np.float64)
+        for j in range(width):
+            g = g + self.nt_lp[s[j : j + nw]]
+        self.gc_fwd = g
+
+        # rev window "ending" at hi (hi in [width-1, n-1]): window[j] =
+        # comp(seq[hi - j]); stored at index hi - (width - 1).
+        acc = np.zeros(nw, dtype=np.float64)
+        for p in self.pwms:
+            prod = np.ones(nw, dtype=np.float64)
+            for j in range(width):
+                prod = prod * p.cols[j, comp[width - 1 - j : n - j]]
+            acc = acc + prod
+        self.mix_rev = acc / len(self.pwms)
+        g = np.zeros(nw, dtype=np.float64)
+        for j in range(width):
+            g = g + self.nt_lp[comp[width - 1 - j : n - j]]
+        self.gc_rev = g
 
     def fwd_start(self, pos: int):
+        import math
+
         if not self.pwms:
             return 0.0, 0
         key = pos - 1
@@ -544,7 +639,7 @@ class MetaPwmScorer:
         best_sep = sep = 0
         lo = pos - n - 1
         while lo >= 0 and lo >= bottom:
-            sc = self._window_score(self.seq[lo : lo + n])
+            sc = math.log(self.mix_fwd[lo]) - self.gc_fwd[lo]
             if sc > score:
                 score = sc
                 best_sep = sep
@@ -555,6 +650,8 @@ class MetaPwmScorer:
         return out
 
     def rev_start(self, pos: int):
+        import math
+
         if not self.pwms:
             return 0.0, 0
         key = self.n + pos - 1
@@ -566,8 +663,7 @@ class MetaPwmScorer:
         best_sep = sep = 0
         hi = pos - 1 + n
         while hi < self.n and hi <= top:
-            window = dna.COMPLEMENT_INDEX[self.seq[hi - n + 1 : hi + 1]][::-1]
-            sc = self._window_score(window)
+            sc = math.log(self.mix_rev[hi - (n - 1)]) - self.gc_rev[hi - (n - 1)]
             if sc > score:
                 score = sc
                 best_sep = sep
