@@ -205,6 +205,50 @@ def _use_device_precompute(device_precompute) -> bool:
     return os.environ.get("GLIMMER_MG_TPU_HOST_PRECOMPUTE") != "1"
 
 
+def _native_models_for(models):
+    """Cached native marshaling of a Models bundle (None if unavailable)."""
+    from .. import native as native_mod
+
+    nm = getattr(models, "_native_marshal", None)
+    if nm is None:
+        nm = native_mod.NativeModels(models)
+        models._native_marshal = nm
+    return nm
+
+
+def _native_predict(pending_jobs, fs_list, allow_indels, allow_subs):
+    """Run a chunk through the native C++ engine.
+
+    pending_jobs: [(seq_idx, models, quals, have_qual)] with models != None.
+    fs_list: per-job (6, n) f64 LLR arrays from the device precompute, or
+    None to let the native engine run its own tree walk.
+    Returns list[list[TracedGene]] or None when the native path can't serve
+    these jobs (engine missing, circular mode).
+    """
+    from .. import native as native_mod
+
+    if not native_mod.available():
+        return None
+    jobs = []
+    try:
+        for ji, (seq_idx, models, quals, have_qual) in enumerate(pending_jobs):
+            if models.circular:
+                return None
+            fs = fs_list[ji] if fs_list is not None else None
+            jobs.append(
+                (seq_idx, quals, have_qual, fs, _native_models_for(models))
+            )
+    except native_mod.NativeUnavailable:
+        return None
+    return native_mod.predict_batch(
+        jobs, allow_indels=allow_indels, allow_subs=allow_subs
+    )
+
+
+def _use_native() -> bool:
+    return os.environ.get("GLIMMER_MG_TPU_NATIVE") != "0"
+
+
 class MgSequenceState:
     """Per-read precomputed state: 6-frame LLRs + stop indexes."""
 
@@ -765,10 +809,20 @@ def run_glimmer_mg_classes(
     def _flush():
         jobs = [(m, s) for _h, s, m, _q, _hq in pending if m is not None]
         fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
+        native_results = None
+        if _use_native() and jobs:
+            native_results = _native_predict(
+                [(s, m, q, hq) for _h, s, m, q, hq in pending if m is not None],
+                fs_list, allow_indels, allow_subs,
+            )
         ji = 0
         for header, seq_idx, models, quals, have_qual in pending:
             if models is None:
                 yield header, []
+                continue
+            if native_results is not None:
+                yield header, native_results[ji]
+                ji += 1
                 continue
             fs = None
             if fs_list is not None:
@@ -1033,7 +1087,16 @@ def run_glimmer_mg(
     def _flush():
         jobs = [(models, s) for _h, s, _q, _hq in pending]
         fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
+        native_results = None
+        if _use_native() and jobs:
+            native_results = _native_predict(
+                [(s, models, q, hq) for _h, s, q, hq in pending],
+                fs_list, allow_indels, allow_subs,
+            )
         for ji, (header, seq_idx, quals, have_qual) in enumerate(pending):
+            if native_results is not None:
+                yield header, native_results[ji]
+                continue
             fs = fs_list[ji] if fs_list is not None else None
             yield header, predict_read(
                 models, seq_idx, quals,

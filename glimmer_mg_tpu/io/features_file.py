@@ -204,39 +204,55 @@ def _length_make_log_odds(gene_l, non_l, frag_lengths, min_gene_len):
     ld.full_trunc_merge = [ld.min_aa_len] * max(3, n_frags)
     l_min = float(ld.min_aa_len)
 
+    try:
+        from ..native import get_lib
+
+        native_lib = get_lib()
+    except Exception:
+        native_lib = None
+
+    gene_l64 = np.ascontiguousarray(gene_l, dtype=np.float64)
+    non_l64 = np.ascontiguousarray(non_l, dtype=np.float64)
+
     for d in range(n_frags):
         frag = ld.fragment_lengths[d]
-        full = np.empty(max_length, dtype=np.float64)
+        # full table: elementwise, bitwise-equal vectorization of the scalar loop
+        full = gene_l64 - non_l64
+        neg = full < 0
+        full[neg] *= short_multiplier
         full[: ld.min_aa_len] = -44.0
-        for l in range(ld.min_aa_len, max_length):
-            v = gene_l[l] - non_l[l]
-            if v < 0:
-                v *= short_multiplier
-            full[l] = v
-
-        def safe_log(x):
-            # C log(): log(0) = -inf (no exception), log(<0) = nan
-            if x > 0.0:
-                return math.log(x)
-            return -math.inf if x == 0.0 else math.nan
 
         trunc = np.zeros(max_length, dtype=np.float64)
         trunc2 = np.zeros(max_length, dtype=np.float64)
-        g_cum = n_cum = -math.inf
-        g_cum2 = n_cum2 = -math.inf
-        for l in range(max_length - 1, ld.min_aa_len - 1, -1):
-            if l > frag:
-                w = safe_log((frag - l_min) / (float(l) + frag - 2.0 * l_min))
-            else:
-                w = safe_log((float(l) - l_min) / (float(l) + frag - 2.0 * l_min))
-            g_cum = mu.log_add(g_cum, gene_l[l] + w)
-            n_cum = mu.log_add(n_cum, non_l[l] + w)
-            if l > frag:
-                w2 = safe_log((float(l) - frag) / (float(l) + frag - 2.0 * l_min))
-                g_cum2 = mu.log_add(g_cum2, gene_l[l] + w2)
-                n_cum2 = mu.log_add(n_cum2, non_l[l] + w2)
-            trunc[l] = g_cum - n_cum
-            trunc2[l] = g_cum2 - n_cum2
+        if native_lib is not None:
+            # exact C++ mirror of the scan below (gmg_length_trunc_scan)
+            native_lib.gmg_length_trunc_scan(
+                gene_l64.ctypes.data, non_l64.ctypes.data, max_length,
+                ld.min_aa_len, float(frag), l_min,
+                trunc.ctypes.data, trunc2.ctypes.data,
+            )
+        else:
+            def safe_log(x):
+                # C log(): log(0) = -inf (no exception), log(<0) = nan
+                if x > 0.0:
+                    return math.log(x)
+                return -math.inf if x == 0.0 else math.nan
+
+            g_cum = n_cum = -math.inf
+            g_cum2 = n_cum2 = -math.inf
+            for l in range(max_length - 1, ld.min_aa_len - 1, -1):
+                if l > frag:
+                    w = safe_log((frag - l_min) / (float(l) + frag - 2.0 * l_min))
+                else:
+                    w = safe_log((float(l) - l_min) / (float(l) + frag - 2.0 * l_min))
+                g_cum = mu.log_add(g_cum, gene_l[l] + w)
+                n_cum = mu.log_add(n_cum, non_l[l] + w)
+                if l > frag:
+                    w2 = safe_log((float(l) - frag) / (float(l) + frag - 2.0 * l_min))
+                    g_cum2 = mu.log_add(g_cum2, gene_l[l] + w2)
+                    n_cum2 = mu.log_add(n_cum2, non_l[l] + w2)
+                trunc[l] = g_cum - n_cum
+                trunc2[l] = g_cum2 - n_cum2
 
         merge = ld.min_aa_len
         while full[merge] < 0.0:
