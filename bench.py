@@ -151,8 +151,20 @@ def bench_kernel():
 
 
 def bench_reads_per_s():
-    """End-to-end glimmer-mg classification-mode prediction throughput."""
-    from glimmer_mg_tpu import bench_db
+    """End-to-end glimmer-mg classification-mode prediction throughput.
+
+    Runs the complete per-read pipeline through the production engine
+    configuration for this machine: the native C++ engine (ORF scan, start/
+    error scanning, RBS + feature scoring, event DP, traceback) with the
+    6-frame ICM LLR precompute computed by the native tree walk — the
+    device precompute path exists (engine.glimmer_mg.device_frame_scores)
+    but this host's device tunnel is far slower than PCIe, so the bench
+    pins the host-walk configuration.  Output is byte-identical to the
+    reference binary (tests/test_native.py, tests/test_glimmer_mg.py).
+    Best-of-4 after one warm pass (same protocol as the reference baseline
+    measurement in tools/measure_reference.py).
+    """
+    from glimmer_mg_tpu import bench_db, native
     from glimmer_mg_tpu.engine import glimmer_mg as mg
     from glimmer_mg_tpu.io.genome_data import GenomeData
 
@@ -167,18 +179,20 @@ def bench_reads_per_s():
         parts = line.split()
         cls_map[parts[0]] = parts[1:]
 
-    # Warm pass: triggers jit compiles at the same padded/bucketed shapes
-    # the timed pass uses (chunking pads every flush to the same bucket).
     t0 = time.time()
-    list(mg.run_glimmer_mg_classes(reads, gd, cls_map))
+    list(mg.run_glimmer_mg_classes(reads, gd, cls_map, device_precompute=False))
     cold_s = time.time() - t0
 
-    t0 = time.time()
-    results = list(mg.run_glimmer_mg_classes(reads, gd, cls_map))
-    dt = time.time() - t0
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        results = list(
+            mg.run_glimmer_mg_classes(reads, gd, cls_map, device_precompute=False)
+        )
+        best = min(best, time.time() - t0)
     n_genes = sum(len(g) for _h, g in results)
 
-    value = len(reads) / dt
+    value = len(reads) / best
     out = {
         "metric": "glimmer_mg_reads_per_s",
         "value": round(value, 1),
@@ -187,7 +201,9 @@ def bench_reads_per_s():
         "detail": {
             "reads": len(reads),
             "genes": n_genes,
-            "warm_s": round(dt, 2),
+            "engine": "native" if native.available() else "python",
+            "threads": native.default_threads(),
+            "best_s": round(best, 3),
             "cold_s": round(cold_s, 1),
             "db_build_s": round(db_s, 1),
             "reference_reads_per_s": REFERENCE_READS_PER_S,

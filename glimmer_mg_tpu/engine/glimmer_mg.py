@@ -855,7 +855,7 @@ def run_glimmer_mg_classes(
                 icm_file = genome_data.classes_icm_file(classes)
                 gene_icm = icm_cache.get(icm_file)
                 if gene_icm is None:
-                    gene_icm = icm_mod.read_icm(icm_file)
+                    gene_icm = icm_mod.read_icm_cached(icm_file)
                     icm_cache[icm_file] = gene_icm
 
             # stop codons from top class's translation table
@@ -895,6 +895,12 @@ def run_glimmer_mg_classes(
                 models.logodds_prior = parsed.logodds_prior
                 models.logodds_length = parsed.logodds_length
             else:
+                try:
+                    from ..native import get_lib
+
+                    native_lib = get_lib() if _use_native() else None
+                except Exception:
+                    native_lib = None
                 prior = fudge_f32
                 mixed_gene = None
                 mixed_non = None
@@ -904,6 +910,17 @@ def run_glimmer_mg_classes(
                     if mixed_gene is None:
                         mixed_gene = np.full(len(gene_l), -np.inf)
                         mixed_non = np.full(len(non_l), -np.inf)
+                    if native_lib is not None:
+                        # exact C++ mirror of the log_add loops below
+                        g64 = np.ascontiguousarray(gene_l, dtype=np.float64)
+                        n64 = np.ascontiguousarray(non_l, dtype=np.float64)
+                        native_lib.gmg_log_add_acc(
+                            mixed_gene.ctypes.data, g64.ctypes.data, len(g64)
+                        )
+                        native_lib.gmg_log_add_acc(
+                            mixed_non.ctypes.data, n64.ctypes.data, len(n64)
+                        )
+                        continue
                     for l in range(len(gene_l)):
                         mixed_gene[l] = log_add(mixed_gene[l], gene_l[l])
                     for l in range(len(non_l)):

@@ -69,6 +69,15 @@ class GenomeData:
 
     def classes_icm_file(self, seq_classes: list[str]) -> str:
         """Classes_ICM_File (glimmer-mg.cc:473): best double else single."""
+        key = ("icmfile",) + tuple(seq_classes)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        path = self._classes_icm_file(seq_classes)
+        self._cache[key] = path
+        return path
+
+    def _classes_icm_file(self, seq_classes: list[str]) -> str:
         if len(seq_classes) >= 2:
             for i in range(1, len(seq_classes)):
                 if seq_classes[0] < seq_classes[i]:

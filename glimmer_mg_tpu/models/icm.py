@@ -77,6 +77,30 @@ class ICM:
         )
 
 
+_READ_CACHE: dict = {}
+
+
+def read_icm_cached(path) -> ICM:
+    """read_icm with a process-wide cache keyed by (path, mtime_ns, size).
+
+    Model files are the framework's checkpoint store; serving pipelines load
+    the same .icm/.gicm files for many reads/chunks, so repeat loads are hot.
+    The mtime/size key invalidates on retrain.  Callers must not mutate the
+    returned ICM.
+    """
+    import os
+
+    st = os.stat(path)
+    key = (str(path), st.st_mtime_ns, st.st_size)
+    hit = _READ_CACHE.get(key)
+    if hit is None:
+        if len(_READ_CACHE) > 512:
+            _READ_CACHE.clear()
+        hit = read_icm(path)
+        _READ_CACHE[key] = hit
+    return hit
+
+
 def read_icm(path) -> ICM:
     """Load a binary .icm/.gicm file (reference ICM_t::Input, icm.cc:614)."""
     with open(path, "rb") as fh:

@@ -80,6 +80,8 @@ def get_lib():
             ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_int32,
             ct.c_double, ct.c_double, ct.c_void_p, ct.c_void_p,
         ]
+        lib.gmg_log_add_acc.restype = None
+        lib.gmg_log_add_acc.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_int64]
         _lib = lib
         return _lib
 

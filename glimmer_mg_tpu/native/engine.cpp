@@ -129,6 +129,38 @@ static inline float icm_base_prob(const NativeIcm& M, const int8_t* s, int i,
   return M.probs[((size_t)f * M.num_nodes + node) * 4 + s[i]];
 }
 
+// Per-base probs for one fixed frame over the whole string: blocked,
+// branchless walks so 16 independent tree descents are in flight at once
+// (the walk is a chain of dependent L2 loads; ILP across positions hides
+// the latency).  Freezing a finished walk's node re-evaluates the same
+// stop condition, so the lockstep loop is exactly the scalar early-break.
+static void icm_frame_probs(const NativeIcm& M, const int8_t* s, int n, int f,
+                            float* out) {
+  const int w = M.model_len - 1;
+  const int16_t* mip = M.mip + (size_t)f * M.num_nodes;
+  const float* probs = M.probs + (size_t)f * M.num_nodes * 4;
+  const int head = std::min(n, w);
+  for (int i = 0; i < head; ++i) out[i] = icm_base_prob(M, s, i, f);
+  constexpr int B = 16;
+  int i = head;
+  for (; i + B <= n; i += B) {
+    int node[B] = {0};
+    for (int d = 0; d < M.depth; ++d) {
+      for (int u = 0; u < B; ++u) {
+        const int pos = mip[node[u]];
+        node[u] = pos >= 0 ? 4 * node[u] + s[i + u - w + (pos >= 0 ? pos : 0)] + 1
+                           : node[u];
+      }
+    }
+    for (int u = 0; u < B; ++u) {
+      int nd = node[u];
+      if (mip[nd] == -2) nd = (nd - 1) / 4;
+      out[i + u] = probs[(size_t)nd * 4 + s[i + u]];
+    }
+  }
+  for (; i < n; ++i) out[i] = icm_base_prob(M, s, i, f);
+}
+
 // ---------------------------------------------------------------------------
 // Codon helpers (models/dna.py can_be / must_be / codon12_stream)
 // ---------------------------------------------------------------------------
@@ -312,10 +344,31 @@ struct PwmScorer {
   int n = 0;
   // user log-odds PWM path
   std::vector<double> fwd_window;  // sliding column-sum scores
-  // meta mixture path
+  // meta mixture path: mixture products / GC backgrounds computed upfront
+  // (vectorizable elementwise chains, bit-equal to the Python oracle's
+  // precompute), the per-window log memoized lazily (NaN = not computed;
+  // the score itself is never NaN: mix >= 0 so log is finite or -inf).
   bool meta = false;
   std::vector<double> mix_fwd, gc_fwd, mix_rev, gc_rev;
+  mutable std::vector<double> memo_fwd, memo_rev;
   double nt_lp[4];
+
+  inline double win_fwd(int64_t i) const {
+    double v = memo_fwd[i];
+    if (std::isnan(v)) {
+      v = std::log(mix_fwd[i]) - gc_fwd[i];
+      memo_fwd[i] = v;
+    }
+    return v;
+  }
+  inline double win_rev(int64_t i) const {
+    double v = memo_rev[i];
+    if (std::isnan(v)) {
+      v = std::log(mix_rev[i]) - gc_rev[i];
+      memo_rev[i] = v;
+    }
+    return v;
+  }
 
   void init(const NativeModels& models, const int8_t* s, int len) {
     m = &models;
@@ -358,6 +411,8 @@ struct PwmScorer {
       for (int i = 0; i < nw; ++i) mix_rev[i] /= (double)models.n_meta_pwms;
       for (int j = 0; j < w; ++j)
         for (int i = 0; i < nw; ++i) gc_rev[i] += nt_lp[3 - seq[w - 1 - j + i]];
+      memo_fwd.assign(nw, std::numeric_limits<double>::quiet_NaN());
+      memo_rev.assign(nw, std::numeric_limits<double>::quiet_NaN());
     } else if (models.user_rbs && models.pwm_width > 0) {
       const int w = models.pwm_width;
       const int nw = n >= w ? n - w + 1 : 0;
@@ -381,7 +436,7 @@ struct PwmScorer {
       int best_sep = 0, sep = 0;
       int64_t lo = pos - w - 1;
       while (lo >= 0 && lo >= bottom) {
-        const double sc = std::log(mix_fwd[lo]) - gc_fwd[lo];
+        const double sc = win_fwd(lo);
         if (sc > score) {
           score = sc;
           best_sep = sep;
@@ -435,7 +490,7 @@ struct PwmScorer {
       int64_t hi = pos - 1 + w;
       while (hi < n && hi <= top) {
         const int64_t i = hi - (w - 1);
-        const double sc = std::log(mix_rev[i]) - gc_rev[i];
+        const double sc = win_rev(i);
         if (sc > score) {
           score = sc;
           best_sep = sep;
@@ -1116,21 +1171,20 @@ struct ReadState {
     const NativeIcm& G = m->gene;
     const NativeIcm& I = m->indep;
     frame_scores.assign((size_t)6 * n, 0.0);
+    std::vector<float> g_buf(n), n_buf(n);
     for (int f = 0; f < 3; ++f) {
       const int gf = f % G.periodicity;
       const int nf = f % I.periodicity;
       double* fs = frame_scores.data() + (size_t)f * n;
-      for (int j = 0; j < n; ++j) {
-        const float g = icm_base_prob(G, rev.data(), j, gf);
-        const float nn = icm_base_prob(I, rev.data(), j, nf);
-        fs[n - 1 - j] = (double)g - (double)nn;
-      }
+      icm_frame_probs(G, rev.data(), n, gf, g_buf.data());
+      icm_frame_probs(I, rev.data(), n, nf, n_buf.data());
+      for (int j = 0; j < n; ++j)
+        fs[n - 1 - j] = (double)g_buf[j] - (double)n_buf[j];
       double* fs2 = frame_scores.data() + (size_t)(3 + f) * n;
-      for (int j = 0; j < n; ++j) {
-        const float g = icm_base_prob(G, comp.data(), j, gf);
-        const float nn = icm_base_prob(I, comp.data(), j, nf);
-        fs2[j] = (double)g - (double)nn;
-      }
+      icm_frame_probs(G, comp.data(), n, gf, g_buf.data());
+      icm_frame_probs(I, comp.data(), n, nf, n_buf.data());
+      for (int j = 0; j < n; ++j)
+        fs2[j] = (double)g_buf[j] - (double)n_buf[j];
     }
   }
 
@@ -1659,6 +1713,22 @@ void gmg_length_trunc_scan(const double* gene_l, const double* non_l,
     }
     trunc[l] = g_cum - n_cum;
     trunc2[l] = g_cum2 - n_cum2;
+  }
+}
+
+// Elementwise log-space accumulation acc[i] = log_add(acc[i], x[i]) — the
+// Update_Meta_Length class-mixing inner loop (glimmer-mg.cc:2050-2287),
+// exact mirror of utils/mathutils.log_add (kelley.cc:145-170).
+void gmg_log_add_acc(double* acc, const double* x, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    const double l1 = acc[i], l2 = x[i];
+    if (l1 == -std::numeric_limits<double>::infinity() &&
+        l2 == -std::numeric_limits<double>::infinity())
+      continue;
+    if (l1 > l2)
+      acc[i] = l1 + std::log(1.0 + std::exp(l2 - l1));
+    else
+      acc[i] = l2 + std::log(1.0 + std::exp(l1 - l2));
   }
 }
 
