@@ -15,10 +15,12 @@ Precision notes: event scores are C doubles, but Process_Fwd_Start_Rev_Stop
 compares candidates in *float32* (`float this_score, max_score`), and the
 adjacency model scores are float32 — all mirrored here with np.float32.
 
-This host implementation is the exact engine for both whole-genome
-(glimmer3) and per-read (glimmer-mg) prediction. The glimmer-mg path feeds
-it device-precomputed 6-frame LLR arrays (ops/icm_score.mg_six_frame_batch);
-the event DP itself runs on host.
+This Python implementation is the exact ORACLE for the event semantics:
+whole-genome (glimmer3) prediction and the Python fallback path run it
+directly, and the production native C++ engine (native/engine.cpp) mirrors
+it operation-for-operation (validated in tests/test_native.py). The
+glimmer-mg entry points feed either engine device-precomputed 6-frame LLR
+arrays (ops/icm_score.mg_six_frame_batch) or native-walk equivalents.
 """
 
 from __future__ import annotations

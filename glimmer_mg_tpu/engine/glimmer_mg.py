@@ -20,9 +20,14 @@ for both the gene and null ICMs. ``run_glimmer_mg`` /
 ``run_glimmer_mg_classes`` process reads in chunks: one jitted device call
 per chunk computes every read's 6-frame per-base table reads (grouped by
 model via a stacked bank + per-read bank index), the host forms the f64
-gene-minus-null LLRs (bitwise equal to the scalar walk), and the exact
-event semantics run on host per read. Set GLIMMER_MG_TPU_HOST_PRECOMPUTE=1
-(or device_precompute=False) to force the numpy mirror.
+gene-minus-null LLRs (bitwise equal to the scalar walk), and the per-read
+event semantics run in the native C++ engine (glimmer_mg_tpu.native),
+batched over the chunk and threaded — this module's Python implementation
+is the parity oracle and the fallback (GLIMMER_MG_TPU_NATIVE=0). Set
+GLIMMER_MG_TPU_HOST_PRECOMPUTE=1 (or device_precompute=False) to skip the
+device precompute (the native engine then runs its own blocked tree walk —
+the right configuration when the host↔device link is slower than
+recompute, as with this rig's tunneled chip).
 """
 
 from __future__ import annotations
