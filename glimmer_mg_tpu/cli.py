@@ -379,11 +379,17 @@ def cmd_g3_iterated(argv):
     p.add_argument("--no-quirk", action="store_true",
                    help="apply features files in runs 2-3 (the documented "
                         "intent) instead of the reference binary's behavior")
+    p.add_argument("--time", action="store_true",
+                   help="write time_<tag>_<step>.txt files")
+    p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
 
     from .pipeline.g3_iterated import run_g3_iterated
+    from .utils.observe import set_verbose
 
-    run_g3_iterated(a.genome, a.tag, quirk_compat=not a.no_quirk)
+    set_verbose(a.verbose)
+    run_g3_iterated(a.genome, a.tag, quirk_compat=not a.no_quirk,
+                    time_files=a.time)
 
 
 def cmd_anomaly(argv):
@@ -537,16 +543,28 @@ def cmd_glimmer_mg_pipeline(argv):
     p.add_argument("--raw", action="store_true", help="raw Phymm output exists")
     p.add_argument("--cls", action="store_true", help="class file exists")
     p.add_argument("--clust", action="store_true", help="clusters exist")
+    p.add_argument("--time", action="store_true",
+                   help="write time_<out>_<stage>.txt files (reference --time)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="stage timing/throughput lines to stderr")
     a = p.parse_args(argv)
     from .pipeline.glimmer_mg_pipe import run_pipeline
+    from .utils.observe import StageTimers, set_verbose
 
+    set_verbose(a.verbose)
+    timers = StageTimers()
     final = run_pipeline(
         a.sequence_file, a.icm_dir, a.out,
         top_hits=a.top_hits, iterate=a.iterate, filter_t=a.filter_t,
         all_features=a.all_features, indels=a.indel, subs=a.sub,
         quality_file=a.quality, fudge=a.fudge, workdir=a.workdir,
         raw_done=a.raw, class_done=a.cls, clust_done=a.clust,
+        time_files=a.time, timers=timers, profile_dir=a.profile,
     )
+    if a.verbose:
+        print(timers.report(), file=sys.stderr)
     print(final)
 
 

@@ -31,9 +31,18 @@ def run_g3_iterated(
     quirk_compat: bool = True,
     glimmer_opts: dict | None = None,
     verbose: bool = True,
+    timers=None,
+    time_files: bool = False,
 ):
-    """Run the 8-step pipeline; writes the reference's artifact set."""
+    """Run the 8-step pipeline; writes the reference's artifact set.
+
+    ``timers`` (utils.observe.StageTimers) collects per-step wall-clock and
+    Mbp/s; ``time_files=True`` writes ``time_<tag>_<step>.txt`` files.
+    """
     from ..engine import glimmer3 as g3
+    from ..utils.observe import StageTimers
+
+    timers = timers or StageTimers()
 
     def log(msg):
         if verbose:
@@ -41,10 +50,13 @@ def run_g3_iterated(
 
     recs = list(read_fasta(genome_file))
     header, seq = recs[0]
+    total_bp = sum(len(s) for _, s in recs)
 
     # step 1: long orfs
     log("Step 1/8: long-orfs")
-    lines, _ = lo.run_long_orfs(seq, entropy_cutoff=1.15)
+    with timers.stage("long-orfs", log=False) as st:
+        st.bp = total_bp
+        lines, _ = lo.run_long_orfs(seq, entropy_cutoff=1.15)
     with open(f"{tag}.longorfs", "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
@@ -55,15 +67,21 @@ def run_g3_iterated(
 
     # step 3: build ICM
     log("Step 3/8: build-icm")
-    strings = icm_train.prepare_training_strings(
-        [s for _, s in train_recs], reverse=True
-    )
-    m = icm_train.train_icm([dna.encode(s) for s in strings])
+    with timers.stage("build-icm", log=False) as st:
+        strings = icm_train.prepare_training_strings(
+            [s for _, s in train_recs], reverse=True
+        )
+        st.bp = sum(len(s) for s in strings)
+        m = icm_train.train_icm([dna.encode(s) for s in strings])
     icm_mod.write_icm(m, f"{tag}.icm")
 
     # step 4: first glimmer3
     log("Step 4/8: glimmer3 run1")
-    res = list(g3.run_glimmer3(recs, m, logodds_fudge=-12, **(glimmer_opts or {})))
+    with timers.stage("run1", log=False) as st:
+        st.items, st.bp = len(recs), total_bp
+        res = list(
+            g3.run_glimmer3(recs, m, logodds_fudge=-12, **(glimmer_opts or {}))
+        )
     with open(f"{tag}.run1.predict", "w") as fh:
         fh.write(g3.format_predict(res))
 
@@ -99,10 +117,18 @@ def run_g3_iterated(
 
     # steps 5-6: retrain + second glimmer3
     log("Step 5-6/8: retrain + glimmer3 run2")
-    retrain_and_predict(f"{tag}.run1", f"{tag}.run2")
+    with timers.stage("run2", log=False) as st:
+        st.items, st.bp = len(recs), total_bp
+        retrain_and_predict(f"{tag}.run1", f"{tag}.run2")
 
     # steps 7-8: retrain + final glimmer3 (reference overwrites run2)
     log("Step 7-8/8: retrain + final glimmer3")
-    retrain_and_predict(f"{tag}.run2", f"{tag}.run2")
+    with timers.stage("run3", log=False) as st:
+        st.items, st.bp = len(recs), total_bp
+        retrain_and_predict(f"{tag}.run2", f"{tag}.run2")
 
+    if time_files:
+        timers.write_time_files(tag)
+    if verbose:
+        log(timers.report())
     return f"{tag}.run2.predict"

@@ -19,6 +19,7 @@ from ..engine import glimmer_mg as mg
 from ..io.fasta import read_fasta, write_fasta
 from ..io.genome_data import GenomeData, parse_classes
 from ..parallel import phymm
+from ..utils.observe import StageTimers, profiler_trace
 from . import scimm, train_features as tf
 
 MIN_GENE_BP = 80000
@@ -214,8 +215,41 @@ def run_pipeline(
     raw_done: bool = False,
     class_done: bool = False,
     clust_done: bool = False,
+    time_files: bool = False,
+    timers: StageTimers | None = None,
+    profile_dir: str | None = None,
 ):
-    """Full pipeline; returns the final .predict path."""
+    """Full pipeline; returns the final .predict path.
+
+    Observability (SURVEY §5): ``timers`` collects per-stage wall-clock and
+    reads/s / Mbp/s counters; ``time_files=True`` writes the reference's
+    ``time_<out>_<stage>.txt`` files (scripts/glimmer-mg.py:43-47);
+    ``profile_dir`` wraps the run in a jax.profiler trace.
+    """
+    timers = timers or StageTimers()
+    with profiler_trace(profile_dir):
+        final = _run_pipeline_timed(
+            sequence_file, icm_dir, out_prefix,
+            top_hits=top_hits, iterate=iterate, filter_t=filter_t,
+            all_features=all_features, indels=indels, subs=subs,
+            quality_file=quality_file, fudge=fudge, taxonomy=taxonomy,
+            minbp_pct=minbp_pct, workdir=workdir, raw_done=raw_done,
+            class_done=class_done, clust_done=clust_done, timers=timers,
+        )
+    if time_files:
+        pre = (out_prefix if out_prefix is not None
+               else os.path.splitext(os.path.basename(sequence_file))[0])
+        timers.write_time_files(pre, workdir)
+    return final
+
+
+def _run_pipeline_timed(
+    sequence_file, icm_dir, out_prefix=None, *, top_hits=3, iterate=1,
+    filter_t=1.0, all_features=False, indels=False, subs=False,
+    quality_file=None, fudge=None, taxonomy=None, minbp_pct=0.01,
+    workdir=".", raw_done=False, class_done=False, clust_done=False,
+    timers: StageTimers,
+):
     os.makedirs(workdir, exist_ok=True)
     cwd = os.getcwd()
     if out_prefix is None:
@@ -232,21 +266,25 @@ def run_pipeline(
 
         qualities = {h.split()[0]: q for h, q in read_qual(quality_file)}
 
+    total_bp = sum(len(s) for _, s in reads)
+
     # 1. classify (resume: --raw)
     if not raw_done and not class_done:
-        phymm.classify_file(sequence_file, icm_dir, out_dir=workdir,
-                            taxonomy=taxonomy)
+        with timers.stage("phymm") as st:
+            phymm.classify_file(sequence_file, icm_dir, out_dir=workdir,
+                                taxonomy=taxonomy)
+            st.items, st.bp = len(reads), total_bp
 
     # 2. parse classifications (resume: --class)
     if not class_done:
-        informative = informative_genomes(icm_dir)
-        classes, top_scores = parse_phymm(raw_file, informative, top_hits)
-        with open(class_file, "w") as fh:
-            for rid in classes:
-                fh.write("%s\t%s\n" % (rid, " ".join(classes[rid])))
+        with timers.stage("parse_phymm"):
+            informative = informative_genomes(icm_dir)
+            classes, top_scores = parse_phymm(raw_file, informative, top_hits)
+            with open(class_file, "w") as fh:
+                for rid in classes:
+                    fh.write("%s\t%s\n" % (rid, " ".join(classes[rid])))
     else:
         classes = parse_classes(class_file)
-        _, _, scores = phymm.read_raw_phymm_output(raw_file)
         icm_paths, rids, scores = phymm.read_raw_phymm_output(raw_file)
         top_scores = dict(zip(rids, scores.max(axis=1)))
 
@@ -254,13 +292,15 @@ def run_pipeline(
 
     # 3. initial predictions
     run1 = os.path.join(workdir, f"{out_prefix}.run1")
-    init_res = list(
-        mg.run_glimmer_mg_classes(
-            reads, gd, classes, qualities=qualities,
-            allow_indels=indels, allow_subs=subs, logodds_fudge=fudge,
+    with timers.stage("iter0") as st:
+        init_res = list(
+            mg.run_glimmer_mg_classes(
+                reads, gd, classes, qualities=qualities,
+                allow_indels=indels, allow_subs=subs, logodds_fudge=fudge,
+            )
         )
-    )
-    init_text = _predict_to_text(init_res)
+        init_text = _predict_to_text(init_res)
+        st.items, st.bp = len(reads), total_bp
     with open(f"{run1}.predict", "w") as fh:
         fh.write(init_text)
 
@@ -273,19 +313,24 @@ def run_pipeline(
     # 4. clustering (resume: --clust)
     seqs = [s for _, s in reads]
     if not clust_done:
-        read_lengths_arr = np.array([len(s) for s in seqs])
-        assign, names = scimm.init_clusters_from_results(
-            results_file, read_ids, taxonomy, minbp_pct=minbp_pct,
-            read_lengths=read_lengths_arr,
-        )
-        assign, icms, cscores = scimm.scimm_cluster(seqs, assign, len(names))
-        scimm.write_cluster_artifacts(workdir, reads, assign, icms, cscores)
+        with timers.stage("cluster") as st:
+            read_lengths_arr = np.array([len(s) for s in seqs])
+            assign, names = scimm.init_clusters_from_results(
+                results_file, read_ids, taxonomy, minbp_pct=minbp_pct,
+                read_lengths=read_lengths_arr,
+            )
+            assign, icms, cscores = scimm.scimm_cluster(
+                seqs, assign, len(names))
+            scimm.write_cluster_artifacts(workdir, reads, assign, icms,
+                                          cscores)
+            st.items, st.bp = len(reads), total_bp
 
     # 5. per-cluster reprediction + arbitration
     init_per_read = _per_read(init_text)
     final_path = os.path.join(workdir, f"{out_prefix}.predict")
     read_lengths = {h: len(s) for h, s in reads}
-    with open(final_path, "w") as out_fh:
+    with timers.stage("repredict") as st, open(final_path, "w") as out_fh:
+        st.items, st.bp = len(reads), total_bp
         for cfa in sorted(glob.glob(os.path.join(workdir, "cluster-*.fa"))):
             cluster = int(os.path.basename(cfa).split("-")[1].split(".")[0])
             c_reads = list(read_fasta(cfa))

@@ -88,11 +88,26 @@ def test_classification_accuracy(mg_db):
 
 
 def test_full_pipeline(mg_db):
+    from glimmer_mg_tpu.utils.observe import StageTimers
+
     root, icm_dir, reads, truth = mg_db
     work = root / "pipe"
+    timers = StageTimers()
     final = pipe.run_pipeline(
-        str(root / "reads.fa"), str(icm_dir), workdir=str(work)
+        str(root / "reads.fa"), str(icm_dir), workdir=str(work),
+        timers=timers, time_files=True,
     )
+    # observability: stage timers recorded + reference-format time files
+    names = [st.name for st in timers.stages]
+    assert names == ["phymm", "parse_phymm", "iter0", "cluster", "repredict"]
+    iter0 = timers.stages[2]
+    assert iter0.items == len(reads) and iter0.items_per_s > 0
+    assert (work / "time_reads_phymm.txt").read_text().endswith("s\n")
+    assert (work / "time_reads_iter0.txt").exists()
+    assert (work / "time_reads.txt").exists()
+    assert "iter0" in timers.report()
+    # Phymm progress log reached completion
+    assert (work / "reads_fa_progress.txt").read_text() == "30/30\n"
     text = Path(final).read_text()
     headers = [l[1:] for l in text.splitlines() if l.startswith(">")]
     assert sorted(headers) == sorted(h for h, _ in reads)
