@@ -54,8 +54,13 @@ class PhymmBank:
     def from_genome_data(cls, icm_dir: str) -> "PhymmBank":
         return cls(genome_icm_paths(icm_dir))
 
-    def score_reads(self, seqs: list[str], batch: int = 512, use_pallas=None):
-        """(n_reads, n_models) fwd/rev-max scores. Pads reads per batch."""
+    def score_reads(self, seqs: list[str], batch: int = 512, use_pallas=None,
+                    progress=None):
+        """(n_reads, n_models) fwd/rev-max scores. Pads reads per batch.
+
+        ``progress`` is an optional utils.observe.ProgressLog advanced once
+        per read (the reference's *_progress.txt, scoreReadsGlim.pl:417).
+        """
         import jax
 
         if use_pallas is None:
@@ -76,6 +81,8 @@ class PhymmBank:
                     self.mip, self.probs, reads, lengths, self.model_len, self.depth
                 )
             out[lo : lo + len(chunk)] = np.asarray(scores)
+            if progress is not None:
+                progress.advance(len(chunk))
         return out
 
 
@@ -132,6 +139,42 @@ def results_name(sequence_file: str) -> str:
     return f"results.01.phymm_{base}.txt"
 
 
+#: Taxonomy ranks in results-table column order (scoreReadsGlim.pl:571).
+RANKS = ("genus", "family", "order", "class", "phylum")
+
+
+def load_taxonomy(icm_dir: str) -> dict[str, tuple[str, ...]]:
+    """Load the Phymm taxonomy table for a genome DB.
+
+    Mirrors scoreReadsGlim.pl:296-340: the DB root (the directory holding
+    the ``.genomeData`` tree, i.e. ``icm_dir/..``) may carry
+    ``.taxonomyData/.3_parsedTaxData/distributionOfTaxa.txt`` (plus a
+    ``_userAdded`` variant) with lines
+
+        <taxType> \\t <taxValue> \\t <prefix + species> \\t <strainDirName>
+
+    Only the five ranks in :data:`RANKS` are kept. Returns
+    strain -> (genus, family, order, class, phylum); missing ranks are "".
+    An absent table yields {} (ranks blank, clustering falls back to
+    per-strain granularity).
+    """
+    root = os.path.dirname(os.path.abspath(icm_dir))
+    base = os.path.join(root, ".taxonomyData", ".3_parsedTaxData")
+    tax: dict[str, dict[str, str]] = {}
+    for name in ("distributionOfTaxa.txt", "distributionOfTaxa_userAdded.txt"):
+        path = os.path.join(base, name)
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            for line in fh:
+                if not line[:1].strip():
+                    continue
+                toks = line.rstrip("\n").split("\t")
+                if len(toks) >= 4 and toks[0] in RANKS:
+                    tax.setdefault(toks[3], {})[toks[0]] = toks[1]
+    return {s: tuple(d.get(r, "") for r in RANKS) for s, d in tax.items()}
+
+
 def write_results_table(path, read_ids, icm_paths, scores, taxonomy=None) -> None:
     """Best-hit table (results.01.phymm_*.txt). ``taxonomy`` maps strain ->
     (genus, family, order, class, phylum); unknown ranks are left blank."""
@@ -156,10 +199,20 @@ def classify_file(sequence_file, icm_dir, out_dir=".", taxonomy=None,
     """
     from ..io.fasta import read_fasta
 
+    from ..utils.observe import ProgressLog, vlog
+
     recs = list(read_fasta(sequence_file))
     read_ids = [h.split()[0] for h, _ in recs]
+    if taxonomy is None:
+        taxonomy = load_taxonomy(icm_dir)
     bank = PhymmBank.from_genome_data(icm_dir)
-    scores = bank.score_reads([s.lower() for _, s in recs], batch=batch)
+    vlog(1, f"[phymm] {len(bank.paths)} ICMs x {len(recs)} reads")
+    base = os.path.basename(sequence_file).replace(".", "_")
+    progress = ProgressLog(
+        os.path.join(out_dir, f"{base}_progress.txt"), len(recs), every=50
+    )
+    scores = bank.score_reads([s.lower() for _, s in recs], batch=batch,
+                              progress=progress)
     write_raw_phymm_output(
         os.path.join(out_dir, raw_phymm_name(sequence_file)),
         bank.paths, read_ids, scores,
