@@ -96,6 +96,9 @@ def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray, depth: int = 7):
     # [m, p, hi, lo, base] -> [m, p, hi*2 + base>>1, lo] with two int16
     # fixed-point values per int32 (even base low half, odd base high half).
     probs_t = probs_pad.reshape(m, p, rows, LANES, 4).transpose(0, 1, 2, 4, 3)
+    # clamp BEFORE scaling: device-trained banks mark zero-prob entries with
+    # -FLT_MAX, which overflows f32 when multiplied by FIXED_SCALE
+    probs_t = np.maximum(probs_t, np.float32(-32768.0 / FIXED_SCALE))
     q = np.clip(np.rint(probs_t * FIXED_SCALE), -32768, 0).astype(np.int64)
     even = q[:, :, :, 0::2]  # bases 0, 2 -> pairs 0, 1
     odd = q[:, :, :, 1::2]

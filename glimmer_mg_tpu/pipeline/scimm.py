@@ -86,18 +86,91 @@ def _train_cluster_icms(seqs, assign, n_clusters, min_bp=500):
     return icms
 
 
+def _bank_to_icms(mip, probs) -> list:
+    """Device-trained bank tensors -> host ICM objects (for artifacts)."""
+    mip = np.asarray(mip)
+    probs = np.asarray(probs, dtype=np.float32)
+    return [
+        icm_mod.ICM(12, 7, mip.shape[1], mip[i].astype(np.int16), probs[i])
+        for i in range(mip.shape[0])
+    ]
+
+
+def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None):
+    """EM with per-cluster retraining ON DEVICE (ops.icm_train_device) and
+    classification through the Pallas walk kernel on TPU (the XLA walk
+    elsewhere). With ``mesh``, reads shard over the ``data`` axis — the
+    count histograms become a psum, the argmax an all-gather (the sharding
+    dryrun_multichip exercises via parallel.classify.em_step)."""
+    import jax
+
+    from ..ops import icm_pallas, icm_train_device
+
+    use_pallas = jax.default_backend() == "tpu" and mesh is None
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+
+        reads, lengths = pmesh.shard_reads(mesh, reads, lengths)
+
+    assign = np.asarray(init_assign, dtype=np.int32).copy()
+    scores = mip = probs = None
+    for it in range(max_iters + 1):
+        onehot = np.zeros((len(assign), n_clusters), np.float32)
+        onehot[np.arange(len(assign)), assign] = 1.0
+        mip, probs = icm_train_device.train_icm_bank(
+            jax.numpy.asarray(reads), lengths, onehot, n_models=n_clusters,
+            model_len=12, depth=7,
+        )
+        if it == max_iters:
+            break
+        if use_pallas:
+            tabs = icm_pallas.pack_tables(np.asarray(mip), np.asarray(probs))
+            scores, _ = pclassify.classify_step_pallas(*tabs, reads, lengths, 12, 7)
+        else:
+            ctx = mesh if mesh is not None else _nullcontext()
+            with ctx:
+                scores, _ = pclassify.classify_step(mip, probs, reads, lengths, 12, 7)
+        scores = np.asarray(scores)
+        new_assign = np.argmax(scores, axis=1).astype(np.int32)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+    return assign, _bank_to_icms(mip, probs), scores
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def scimm_cluster(
     seqs: list[str],
     init_assign: np.ndarray,
     n_clusters: int,
     max_iters: int = 10,
     use_device: bool | None = None,
+    mesh=None,
 ):
-    """Iterative EM clustering; returns (assign, cluster_icms, scores)."""
+    """Iterative EM clustering; returns (assign, cluster_icms, scores).
+
+    ``use_device=None`` auto-selects: the device EM (bank trainer +
+    Pallas/XLA classifier, one jitted dispatch per stage) on TPU, the
+    bit-exact host trainer elsewhere. ``mesh`` shards reads over the
+    ``data`` axis of a (data, model) mesh (device path only)."""
+    import jax
+
+    if use_device is None:
+        use_device = jax.default_backend() == "tpu"
     assign = np.asarray(init_assign, dtype=np.int32).copy()
     length = max((len(s) for s in seqs), default=3)
     length += (-length) % 3
     reads, lengths = pclassify.pad_reads([s.lower() for s in seqs], length=length)
+
+    if use_device:
+        return _device_em(reads, lengths, assign, n_clusters, max_iters, mesh)
 
     scores = None
     for it in range(max_iters):

@@ -87,6 +87,31 @@ def test_classification_accuracy(mg_db):
     np.testing.assert_allclose(s2, scores, atol=5e-5)
 
 
+def test_scimm_device_em_matches_host(mg_db):
+    """Device EM (bank trainer + device classifier) reproduces the host EM's
+    cluster assignments on the synthetic 2-genome DB (VERDICT r1 item 3)."""
+    from glimmer_mg_tpu.pipeline import scimm
+    from glimmer_mg_tpu.parallel import mesh as pmesh
+
+    root, icm_dir, reads, truth = mg_db
+    seqs = [s for _, s in reads]
+    init = np.array([i % 2 for i in range(len(seqs))], np.int32)
+    # scramble a third of the seeds so EM has real work to do
+    init[:: 3] = 1 - init[:: 3]
+
+    a_host, icms_host, s_host = scimm.scimm_cluster(
+        seqs, init, 2, use_device=False
+    )
+    a_dev, icms_dev, s_dev = scimm.scimm_cluster(seqs, init, 2, use_device=True)
+    np.testing.assert_array_equal(a_dev, a_host)
+    assert len(icms_dev) == 2 and icms_dev[0].probs.shape == icms_host[0].probs.shape
+
+    # and sharded over a (data, model) mesh: same assignments again
+    mesh = pmesh.make_mesh(data=2, model=4)
+    a_mesh, _, _ = scimm.scimm_cluster(seqs, init, 2, use_device=True, mesh=mesh)
+    np.testing.assert_array_equal(a_mesh, a_host)
+
+
 def test_full_pipeline(mg_db):
     from glimmer_mg_tpu.utils.observe import StageTimers
 
