@@ -17,6 +17,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> bool:
+    """Initialize multi-host (DCN) mode; the framework's replacement for the
+    reference's Condor process fan-out (scripts/phymm_par.py:268-274).
+
+    Call once per process before any JAX computation. After it returns,
+    ``jax.devices()`` is the GLOBAL device list, so :func:`make_mesh` builds
+    a cross-host mesh and the classification all-gather / EM count psum ride
+    the collective fabric (gloo on CPU, ICI/DCN on TPU pods — where the
+    plugin auto-detects and all arguments may be omitted). Single-process
+    runs (num_processes None/1 outside a TPU pod) are a no-op; returns
+    whether distributed mode was initialized.
+    """
+    import jax
+
+    if num_processes is not None and num_processes <= 1:
+        return False
+    if coordinator_address is None and num_processes is None:
+        # rely on env/plugin auto-detection (TPU pods); no-op otherwise
+        try:
+            jax.distributed.initialize()
+            return True
+        except Exception:
+            return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return True
+
+
 def make_mesh(data: int | None = None, model: int | None = None, devices=None) -> Mesh:
     """Build a (data, model) mesh. Defaults: all devices on the data axis."""
     devices = np.asarray(devices if devices is not None else jax.devices())

@@ -55,24 +55,59 @@ class PhymmBank:
         return cls(genome_icm_paths(icm_dir))
 
     def score_reads(self, seqs: list[str], batch: int = 512, use_pallas=None,
-                    progress=None):
+                    progress=None, mesh=None):
         """(n_reads, n_models) fwd/rev-max scores. Pads reads per batch.
 
         ``progress`` is an optional utils.observe.ProgressLog advanced once
         per read (the reference's *_progress.txt, scoreReadsGlim.pl:417).
+
+        ``mesh``: a (data, model) jax Mesh — the bank shards over the
+        ``model`` axis and each read batch over ``data`` (the two
+        phymm_par.py fan-out modes at once); bank/batch are padded to the
+        axis sizes and the pads sliced off the result.
         """
         import jax
 
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = jax.default_backend() == "tpu" and mesh is None
         n = len(seqs)
-        out = np.zeros((n, len(self.paths)), dtype=np.float32)
+        m = len(self.paths)
+        out = np.zeros((n, m), dtype=np.float32)
         length = max((len(s) for s in seqs), default=0)
         length = max(3, length + (-length) % 3)  # pallas needs L % 3 == 0
+
+        mip_s = probs_s = None
+        if mesh is not None:
+            from . import mesh as pmesh
+
+            dat, mdl = mesh.shape["data"], mesh.shape["model"]
+            pad_m = (-m) % mdl
+            mip, probs = self.mip, self.probs
+            if pad_m:
+                mip = np.concatenate([mip, np.repeat(mip[:1], pad_m, axis=0)])
+                probs = np.concatenate(
+                    [probs, np.repeat(probs[:1], pad_m, axis=0)]
+                )
+            mip_s, probs_s = pmesh.shard_bank(mesh, mip, probs)
+
         for lo in range(0, n, batch):
             chunk = seqs[lo : lo + batch]
             reads, lengths = pclassify.pad_reads(chunk, length=length)
-            if use_pallas:
+            if mesh is not None:
+                from . import mesh as pmesh
+
+                pad_b = (-len(chunk)) % dat
+                if pad_b:
+                    reads = np.pad(reads, ((0, pad_b), (0, 0)))
+                    lengths = np.pad(lengths, (0, pad_b))
+                reads_s, lengths_s = pmesh.shard_reads(mesh, reads, lengths)
+                with mesh:
+                    scores, _ = pclassify.classify_step(
+                        mip_s, probs_s, reads_s, lengths_s,
+                        self.model_len, self.depth,
+                    )
+                scores = np.asarray(scores)[: len(chunk), :m]
+            elif use_pallas:
                 scores, _ = pclassify.classify_step_pallas(
                     *self.tables, reads, lengths, self.model_len, self.depth
                 )
@@ -192,9 +227,10 @@ def write_results_table(path, read_ids, icm_paths, scores, taxonomy=None) -> Non
 
 
 def classify_file(sequence_file, icm_dir, out_dir=".", taxonomy=None,
-                  batch: int = 512):
+                  batch: int = 512, mesh=None):
     """Full classification step: score + write raw matrix + results table.
 
+    ``mesh`` shards the bank/reads over a (data, model) device mesh.
     Returns (icm_paths, read_ids, scores).
     """
     from ..io.fasta import read_fasta
@@ -212,7 +248,7 @@ def classify_file(sequence_file, icm_dir, out_dir=".", taxonomy=None,
         os.path.join(out_dir, f"{base}_progress.txt"), len(recs), every=50
     )
     scores = bank.score_reads([s.lower() for _, s in recs], batch=batch,
-                              progress=progress)
+                              progress=progress, mesh=mesh)
     write_raw_phymm_output(
         os.path.join(out_dir, raw_phymm_name(sequence_file)),
         bank.paths, read_ids, scores,

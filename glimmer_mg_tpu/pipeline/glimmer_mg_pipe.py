@@ -218,13 +218,16 @@ def run_pipeline(
     time_files: bool = False,
     timers: StageTimers | None = None,
     profile_dir: str | None = None,
+    mesh=None,
 ):
     """Full pipeline; returns the final .predict path.
 
     Observability (SURVEY §5): ``timers`` collects per-stage wall-clock and
     reads/s / Mbp/s counters; ``time_files=True`` writes the reference's
     ``time_<out>_<stage>.txt`` files (scripts/glimmer-mg.py:43-47);
-    ``profile_dir`` wraps the run in a jax.profiler trace.
+    ``profile_dir`` wraps the run in a jax.profiler trace. ``mesh`` shards
+    classification (bank over ``model``, reads over ``data``) and the EM
+    clustering (reads over ``data``) across a device mesh.
     """
     timers = timers or StageTimers()
     with profiler_trace(profile_dir):
@@ -235,6 +238,7 @@ def run_pipeline(
             quality_file=quality_file, fudge=fudge, taxonomy=taxonomy,
             minbp_pct=minbp_pct, workdir=workdir, raw_done=raw_done,
             class_done=class_done, clust_done=clust_done, timers=timers,
+            mesh=mesh,
         )
     if time_files:
         pre = (out_prefix if out_prefix is not None
@@ -249,6 +253,7 @@ def _run_pipeline_timed(
     quality_file=None, fudge=None, taxonomy=None, minbp_pct=0.01,
     workdir=".", raw_done=False, class_done=False, clust_done=False,
     timers: StageTimers,
+    mesh=None,
 ):
     os.makedirs(workdir, exist_ok=True)
     cwd = os.getcwd()
@@ -272,7 +277,7 @@ def _run_pipeline_timed(
     if not raw_done and not class_done:
         with timers.stage("phymm") as st:
             phymm.classify_file(sequence_file, icm_dir, out_dir=workdir,
-                                taxonomy=taxonomy)
+                                taxonomy=taxonomy, mesh=mesh)
             st.items, st.bp = len(reads), total_bp
 
     # 2. parse classifications (resume: --class)
@@ -320,7 +325,8 @@ def _run_pipeline_timed(
                 read_lengths=read_lengths_arr,
             )
             assign, icms, cscores = scimm.scimm_cluster(
-                seqs, assign, len(names))
+                seqs, assign, len(names), mesh=mesh,
+                use_device=True if mesh is not None else None)
             scimm.write_cluster_artifacts(workdir, reads, assign, icms,
                                           cscores)
             st.items, st.bp = len(reads), total_bp

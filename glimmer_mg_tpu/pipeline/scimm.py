@@ -86,17 +86,19 @@ def _train_cluster_icms(seqs, assign, n_clusters, min_bp=500):
     return icms
 
 
-def _bank_to_icms(mip, probs) -> list:
+def _bank_to_icms(mip, probs, model_len=12, depth=7) -> list:
     """Device-trained bank tensors -> host ICM objects (for artifacts)."""
     mip = np.asarray(mip)
     probs = np.asarray(probs, dtype=np.float32)
     return [
-        icm_mod.ICM(12, 7, mip.shape[1], mip[i].astype(np.int16), probs[i])
+        icm_mod.ICM(model_len, depth, mip.shape[1], mip[i].astype(np.int16),
+                    probs[i])
         for i in range(mip.shape[0])
     ]
 
 
-def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None):
+def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
+               model_len=12, depth=7):
     """EM with per-cluster retraining ON DEVICE (ops.icm_train_device) and
     classification through the Pallas walk kernel on TPU (the XLA walk
     elsewhere). With ``mesh``, reads shard over the ``data`` axis — the
@@ -119,23 +121,26 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None):
         onehot[np.arange(len(assign)), assign] = 1.0
         mip, probs = icm_train_device.train_icm_bank(
             jax.numpy.asarray(reads), lengths, onehot, n_models=n_clusters,
-            model_len=12, depth=7,
+            model_len=model_len, depth=depth,
         )
         if it == max_iters:
             break
         if use_pallas:
-            tabs = icm_pallas.pack_tables(np.asarray(mip), np.asarray(probs))
-            scores, _ = pclassify.classify_step_pallas(*tabs, reads, lengths, 12, 7)
+            tabs = icm_pallas.pack_tables(np.asarray(mip), np.asarray(probs),
+                                          depth=depth)
+            scores, _ = pclassify.classify_step_pallas(
+                *tabs, reads, lengths, model_len, depth)
         else:
             ctx = mesh if mesh is not None else _nullcontext()
             with ctx:
-                scores, _ = pclassify.classify_step(mip, probs, reads, lengths, 12, 7)
+                scores, _ = pclassify.classify_step(
+                    mip, probs, reads, lengths, model_len, depth)
         scores = np.asarray(scores)
         new_assign = np.argmax(scores, axis=1).astype(np.int32)
         if np.array_equal(new_assign, assign):
             break
         assign = new_assign
-    return assign, _bank_to_icms(mip, probs), scores
+    return assign, _bank_to_icms(mip, probs, model_len, depth), scores
 
 
 class _nullcontext:
@@ -153,6 +158,8 @@ def scimm_cluster(
     max_iters: int = 10,
     use_device: bool | None = None,
     mesh=None,
+    model_len: int = 12,
+    depth: int = 7,
 ):
     """Iterative EM clustering; returns (assign, cluster_icms, scores).
 
@@ -170,7 +177,8 @@ def scimm_cluster(
     reads, lengths = pclassify.pad_reads([s.lower() for s in seqs], length=length)
 
     if use_device:
-        return _device_em(reads, lengths, assign, n_clusters, max_iters, mesh)
+        return _device_em(reads, lengths, assign, n_clusters, max_iters, mesh,
+                          model_len, depth)
 
     scores = None
     for it in range(max_iters):

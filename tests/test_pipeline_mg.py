@@ -87,6 +87,32 @@ def test_classification_accuracy(mg_db):
     np.testing.assert_allclose(s2, scores, atol=5e-5)
 
 
+def test_pipeline_with_mesh(mg_db):
+    """run_pipeline over a (data, model) mesh: classification shards the
+    bank/reads and clustering runs the device EM; output structure matches
+    the unsharded run (VERDICT r1 items 3/4)."""
+    from glimmer_mg_tpu.parallel import mesh as pmesh
+
+    root, icm_dir, reads, truth = mg_db
+    mesh = pmesh.make_mesh(data=2, model=4)
+    work = root / "pipe_mesh"
+    final = pipe.run_pipeline(
+        str(root / "reads.fa"), str(icm_dir), workdir=str(work), mesh=mesh
+    )
+    text = Path(final).read_text()
+    headers = [l[1:] for l in text.splitlines() if l.startswith(">")]
+    assert sorted(headers) == sorted(h for h, _ in reads)
+    assert sum(1 for l in text.splitlines() if l and not l.startswith(">")) > 10
+    # meshed classification scores equal the unsharded raw matrix
+    raw = work / phymm.raw_phymm_name("reads.fa")
+    p1, r1, s1 = phymm.read_raw_phymm_output(raw)
+    bank = phymm.PhymmBank(p1)
+    s_ref = bank.score_reads(
+        [s.lower() for _, s in read_fasta(root / "reads.fa")], use_pallas=False
+    )
+    np.testing.assert_allclose(s1, s_ref, atol=5e-4)
+
+
 def test_scimm_device_em_matches_host(mg_db):
     """Device EM (bank trainer + device classifier) reproduces the host EM's
     cluster assignments on the synthetic 2-genome DB (VERDICT r1 item 3)."""
