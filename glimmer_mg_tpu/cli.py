@@ -517,10 +517,28 @@ def cmd_classify(argv):
     p.add_argument("icm_dir")
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--mesh", metavar="DATA,MODEL",
+                   help="shard over a (data, model) device mesh, e.g. 4,2 "
+                        "(the reference phymm_par.py -p fan-out)")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address")
+    p.add_argument("--num_procs", type=int, help="multi-host: process count")
+    p.add_argument("--proc_id", type=int, help="multi-host: this process id")
     a = p.parse_args(argv)
     from .parallel.phymm import classify_file
 
-    classify_file(a.sequence_file, a.icm_dir, out_dir=a.out_dir, batch=a.batch)
+    mesh = None
+    if a.coordinator or (a.num_procs or 0) > 1:
+        from .parallel.mesh import init_distributed
+
+        init_distributed(a.coordinator, a.num_procs, a.proc_id)
+    if a.mesh:
+        from .parallel.mesh import make_mesh
+
+        data, model = (int(x) for x in a.mesh.split(","))
+        mesh = make_mesh(data=data, model=model)
+    classify_file(a.sequence_file, a.icm_dir, out_dir=a.out_dir, batch=a.batch,
+                  mesh=mesh)
 
 
 def cmd_glimmer_mg_pipeline(argv):
@@ -547,12 +565,20 @@ def cmd_glimmer_mg_pipeline(argv):
                    help="write time_<out>_<stage>.txt files (reference --time)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--mesh", metavar="DATA,MODEL", default=None,
+                   help="shard classification + EM over a (data, model) mesh")
     p.add_argument("-v", "--verbose", action="count", default=0,
                    help="stage timing/throughput lines to stderr")
     a = p.parse_args(argv)
     from .pipeline.glimmer_mg_pipe import run_pipeline
     from .utils.observe import StageTimers, set_verbose
 
+    mesh = None
+    if a.mesh:
+        from .parallel.mesh import make_mesh
+
+        data, model = (int(x) for x in a.mesh.split(","))
+        mesh = make_mesh(data=data, model=model)
     set_verbose(a.verbose)
     timers = StageTimers()
     final = run_pipeline(
@@ -562,6 +588,7 @@ def cmd_glimmer_mg_pipeline(argv):
         quality_file=a.quality, fudge=a.fudge, workdir=a.workdir,
         raw_done=a.raw, class_done=a.cls, clust_done=a.clust,
         time_files=a.time, timers=timers, profile_dir=a.profile,
+        mesh=mesh,
     )
     if a.verbose:
         print(timers.report(), file=sys.stderr)
