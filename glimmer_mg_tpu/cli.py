@@ -528,7 +528,12 @@ def cmd_classify(argv):
     from .parallel.phymm import classify_file
 
     mesh = None
-    if a.coordinator or (a.num_procs or 0) > 1:
+    if a.coordinator or (a.num_procs or 0) > 1 or a.proc_id is not None:
+        # all three are required together: jax.distributed.initialize with a
+        # partial spec (no coordinator / no process_id) fails obscurely or
+        # silently degrades to single-process
+        if not (a.coordinator and a.num_procs and a.proc_id is not None):
+            p.error("--coordinator, --num_procs and --proc_id must be given together")
         from .parallel.mesh import init_distributed
 
         init_distributed(a.coordinator, a.num_procs, a.proc_id)

@@ -43,7 +43,14 @@ def init_distributed(
         try:
             jax.distributed.initialize()
             return True
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(
+                f"[mesh] jax.distributed auto-detect failed ({e!r}); "
+                "continuing single-process",
+                file=sys.stderr,
+            )
             return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -70,10 +77,48 @@ def make_mesh(data: int | None = None, model: int | None = None, devices=None) -
 
 
 def shard_reads(mesh: Mesh, reads, lengths):
-    """Place padded reads/lengths sharded along the data axis."""
+    """Place padded reads/lengths sharded along the data axis.
+
+    The batch must divide evenly by the data-axis size (NamedSharding
+    requirement); use :func:`pad_batch` first for arbitrary read counts.
+    """
     rs = NamedSharding(mesh, P("data", None))
     ls = NamedSharding(mesh, P("data"))
     return jax.device_put(reads, rs), jax.device_put(lengths, ls)
+
+
+def pad_batch(mesh: Mesh, reads, lengths):
+    """Zero-pad a read batch to a multiple of the mesh data-axis size.
+
+    Pad rows have length 0, so they contribute nothing to training counts
+    or scores. Returns (reads, lengths, n_orig); slice results back to
+    ``n_orig`` rows after the sharded computation.
+    """
+    n = reads.shape[0]
+    pad = (-n) % mesh.shape["data"]
+    if pad:
+        reads = np.pad(np.asarray(reads), ((0, pad), (0, 0)))
+        lengths = np.pad(np.asarray(lengths), (0, pad))
+    return reads, lengths, n
+
+
+def materialize(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to a host numpy array.
+
+    ``np.asarray`` raises for arrays spanning non-addressable devices; in
+    multi-process mode the shards are exchanged with ``process_allgather``
+    so every process sees the full array (the reference's file-merge join,
+    scripts/phymm_par.py:410-474, as a DCN collective)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def is_output_process() -> bool:
+    """True on the process that should write shared file artifacts."""
+    return jax.process_index() == 0
 
 
 def shard_bank(mesh: Mesh, bank_mip, bank_probs):

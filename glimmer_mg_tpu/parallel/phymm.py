@@ -106,7 +106,8 @@ class PhymmBank:
                         mip_s, probs_s, reads_s, lengths_s,
                         self.model_len, self.depth,
                     )
-                scores = np.asarray(scores)[: len(chunk), :m]
+                # multi-host safe: process_allgather instead of np.asarray
+                scores = pmesh.materialize(scores)[: len(chunk), :m]
             elif use_pallas:
                 scores, _ = pclassify.classify_step_pallas(
                     *self.tables, reads, lengths, self.model_len, self.depth
@@ -243,18 +244,25 @@ def classify_file(sequence_file, icm_dir, out_dir=".", taxonomy=None,
         taxonomy = load_taxonomy(icm_dir)
     bank = PhymmBank.from_genome_data(icm_dir)
     vlog(1, f"[phymm] {len(bank.paths)} ICMs x {len(recs)} reads")
+    from .mesh import is_output_process
+
     base = os.path.basename(sequence_file).replace(".", "_")
-    progress = ProgressLog(
-        os.path.join(out_dir, f"{base}_progress.txt"), len(recs), every=50
-    )
+    progress = None
+    if is_output_process():
+        progress = ProgressLog(
+            os.path.join(out_dir, f"{base}_progress.txt"), len(recs), every=50
+        )
     scores = bank.score_reads([s.lower() for _, s in recs], batch=batch,
                               progress=progress, mesh=mesh)
-    write_raw_phymm_output(
-        os.path.join(out_dir, raw_phymm_name(sequence_file)),
-        bank.paths, read_ids, scores,
-    )
-    write_results_table(
-        os.path.join(out_dir, results_name(sequence_file)),
-        read_ids, bank.paths, scores, taxonomy,
-    )
+    # every process gets the full score matrix (score_reads all-gathers in
+    # multi-host mode); only one writes the shared artifacts
+    if is_output_process():
+        write_raw_phymm_output(
+            os.path.join(out_dir, raw_phymm_name(sequence_file)),
+            bank.paths, read_ids, scores,
+        )
+        write_results_table(
+            os.path.join(out_dir, results_name(sequence_file)),
+            read_ids, bank.paths, scores, taxonomy,
+        )
     return bank.paths, read_ids, scores

@@ -109,16 +109,20 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
     from ..ops import icm_pallas, icm_train_device
 
     use_pallas = jax.default_backend() == "tpu" and mesh is None
+    n_reads = reads.shape[0]
     if mesh is not None:
         from ..parallel import mesh as pmesh
 
+        # zero-pad to the data-axis size (pad rows have length 0: no counts,
+        # no scores) — NamedSharding requires even divisibility
+        reads, lengths, n_reads = pmesh.pad_batch(mesh, reads, lengths)
         reads, lengths = pmesh.shard_reads(mesh, reads, lengths)
 
     assign = np.asarray(init_assign, dtype=np.int32).copy()
     scores = mip = probs = None
     for it in range(max_iters + 1):
-        onehot = np.zeros((len(assign), n_clusters), np.float32)
-        onehot[np.arange(len(assign)), assign] = 1.0
+        onehot = np.zeros((reads.shape[0], n_clusters), np.float32)
+        onehot[np.arange(len(assign)), assign] = 1.0  # pad rows stay zero
         mip, probs = icm_train_device.train_icm_bank(
             jax.numpy.asarray(reads), lengths, onehot, n_models=n_clusters,
             model_len=model_len, depth=depth,
@@ -130,12 +134,19 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
                                           depth=depth)
             scores, _ = pclassify.classify_step_pallas(
                 *tabs, reads, lengths, model_len, depth)
+            scores = np.asarray(scores)
         else:
             ctx = mesh if mesh is not None else _nullcontext()
             with ctx:
                 scores, _ = pclassify.classify_step(
                     mip, probs, reads, lengths, model_len, depth)
-        scores = np.asarray(scores)
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
+
+                scores = pmesh.materialize(scores)
+            else:
+                scores = np.asarray(scores)
+        scores = scores[:n_reads]
         new_assign = np.argmax(scores, axis=1).astype(np.int32)
         if np.array_equal(new_assign, assign):
             break

@@ -138,6 +138,27 @@ def test_scimm_device_em_matches_host(mg_db):
     np.testing.assert_array_equal(a_mesh, a_host)
 
 
+def test_scimm_mesh_uneven_batch(mg_db):
+    """Read counts not divisible by the mesh data axis must work: the EM pads
+    reads with zero-length rows before sharding (ADVICE r2 high — 31 reads on
+    data=4 used to raise in jax.device_put)."""
+    from glimmer_mg_tpu.pipeline import scimm
+    from glimmer_mg_tpu.parallel import mesh as pmesh
+
+    root, icm_dir, reads, truth = mg_db
+    seqs = [s for _, s in reads] + [reads[0][1]]  # 31 reads: 31 % 4 != 0
+    assert len(seqs) == 31
+    init = np.array([i % 2 for i in range(len(seqs))], np.int32)
+
+    a_host, _, s_host = scimm.scimm_cluster(seqs, init, 2, use_device=False)
+    mesh = pmesh.make_mesh(data=4, model=2)
+    a_mesh, _, s_mesh = scimm.scimm_cluster(
+        seqs, init, 2, use_device=True, mesh=mesh
+    )
+    assert a_mesh.shape == (31,) and s_mesh.shape[0] == 31
+    np.testing.assert_array_equal(a_mesh, a_host)
+
+
 def test_full_pipeline(mg_db):
     from glimmer_mg_tpu.utils.observe import StageTimers
 
