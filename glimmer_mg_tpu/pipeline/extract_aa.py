@@ -89,48 +89,57 @@ def get_preds(seqs: dict[str, str], predict_text: str) -> dict[str, list[Pred]]:
 
 
 def predict_msa(preds: list[Pred], seq: str) -> list[str]:
-    """extract_aa.py:141 predict_msa."""
-    frag_msa = [" ", " ", " "] + list(seq) + [" ", " ", " "]
-    insertions = sorted(sum((p.insertions for p in preds), []))
-    deletions = sorted(sum((p.deletions for p in preds), []))
-    substitutions = sorted(sum((p.substitutions for p in preds), []))
-    if not insertions and not deletions and not substitutions:
-        return frag_msa
+    """Predicted-sequence row of the fragment/prediction pseudo-alignment.
 
-    i = d = s = 0
-    p = 3
-    f = 0
-    pred_msa = [" "] * (len(frag_msa) + len(deletions))
-    old_len = len(frag_msa)
-    for _ in range(3, old_len - 3):
-        if i < len(insertions) and insertions[i] == f:
-            pred_msa[p] = "-"
-            if frag_msa[p] != "-":
-                f += 1
-            p += 1
-            i += 1
-        elif d < len(deletions) and deletions[d] == f:
-            frag_msa.insert(p, "-")
-            pred_msa[p] = pred_msa[p - 1]  # assume homopolymer deletion
-            p += 1
-            d += 1
-            pred_msa[p] = frag_msa[p]
-            if frag_msa[p] != "-":
-                f += 1
-            p += 1
-        elif s < len(substitutions) and substitutions[s] == f:
-            if frag_msa[p] == "-":
-                raise ValueError("gap where a substitution should be")
-            pred_msa[p] = "G" if frag_msa[p] == "C" else "C"
-            f += 1
-            p += 1
-            s += 1
+    Behavioral parity with reference scripts/extract_aa.py:143: walk the
+    fragment left to right, consuming the gene predictions' pooled error
+    coordinates (fragment-indexed, sorted, earliest-first; at equal
+    positions an insertion outranks a deletion outranks a substitution):
+
+      * insertion  — the fragment base is an artifact: emit a gap.
+      * deletion   — the fragment is missing a base: emit a guessed base
+        (copy of the previous emitted one — sequencer indels are
+        overwhelmingly homopolymer-length errors) and then the fragment
+        base itself.
+      * substitution — emit a miscall marker in place of the base ("C",
+        or "G" when the base already is a C), matching the reference's
+        placeholder choice so retraining sets are identical.
+
+    Output is a char list padded with 3 leading spaces and enough trailing
+    spaces to reach ``len(seq) + 6 + #deletions`` (one extra emitted char
+    per deletion), exactly the reference's allocation.  Error coordinates
+    that repeat or never match simply fall through, as in the reference.
+    """
+    frag_row = [" "] * 3 + list(seq) + [" "] * 3
+    pending = {
+        kind: sorted(sum((getattr(p, kind) for p in preds), []))
+        for kind in ("insertions", "deletions", "substitutions")
+    }
+    if not any(pending.values()):
+        return frag_row
+
+    out_len = len(frag_row) + len(pending["deletions"])
+    out = [" "] * 3
+
+    def next_is(kind, f):
+        lst = pending[kind]
+        if lst and lst[0] == f:
+            lst.pop(0)
+            return True
+        return False
+
+    for f, base in enumerate(seq):
+        if next_is("insertions", f):
+            out.append("-")
+        elif next_is("deletions", f):
+            out.append(out[-1])  # homopolymer guess for the missing base
+            out.append(base)
+        elif next_is("substitutions", f):
+            out.append("G" if base == "C" else "C")
         else:
-            pred_msa[p] = frag_msa[p]
-            if frag_msa[p] != "-":
-                f += 1
-            p += 1
-    return pred_msa
+            out.append(base)
+    out.extend([" "] * (out_len - len(out)))
+    return out
 
 
 def frag_genes(header: str, seq: str, preds: list[Pred]):

@@ -46,42 +46,62 @@ def informative_genomes(icm_dir: str, min_adj: float = 7.0) -> set[str]:
     return out
 
 
-def score_insert(score_list, score, g):
-    """glimmer-mg.py:665 score_insert: sorted top-k (score, genome) list."""
-    for i in range(len(score_list)):
-        if score_list[i] == "":
-            score_list[i] = (score, g)
-            return
-    insert_point = 0
-    while insert_point < len(score_list):
-        if score > score_list[insert_point][0]:
-            break
-        insert_point += 1
-    if insert_point == len(score_list):
-        return
-    for i in range(len(score_list) - 1, insert_point, -1):
-        score_list[i] = score_list[i - 1]
-    score_list[insert_point] = (score, g)
+def running_top_k(scores: np.ndarray, k: int):
+    """Per-row top-k slots with the reference's streaming insert semantics.
+
+    The reference driver builds each read's class list by streaming genome
+    columns through a fixed-size slot list (glimmer-mg.py:536-605 with the
+    insert routine at :669).  Those semantics are NOT a plain top-k sort:
+    the first k columns fill the slots in column order (unsorted), and each
+    later column is inserted before the first slot it strictly beats,
+    shifting the rest right and dropping the LAST slot — which can discard
+    a large value that the unsorted fill phase left in a late slot.  Class
+    files only match the reference byte-for-byte if that quirk is kept, so
+    this vectorizes the slot automaton itself, one O(reads x k) numpy step
+    per column instead of a Python loop per cell.
+
+    ``scores`` is (n_rows, n_cols) processed left to right.  Returns
+    (slot_scores (n_rows, k) f64, slot_cols (n_rows, k) int; empty slots
+    hold -inf / -1).
+    """
+    n, c = scores.shape
+    slot_s = np.full((n, k), -np.inf)
+    slot_c = np.full((n, k), -1, dtype=np.int64)
+    j = np.arange(k)[None, :]
+    for col in range(c):
+        s = scores[:, col]
+        if col < k:  # fill phase: slot index == column index, no sorting
+            slot_s[:, col] = s
+            slot_c[:, col] = col
+            continue
+        beats = s[:, None] > slot_s
+        ip = np.where(beats.any(axis=1), beats.argmax(axis=1), k)[:, None]
+        src = j - (j > ip)  # right-shift everything at/after the insert slot
+        slot_s = np.take_along_axis(slot_s, src, axis=1)
+        slot_c = np.take_along_axis(slot_c, src, axis=1)
+        at = j == ip
+        slot_s = np.where(at, s[:, None], slot_s)
+        slot_c = np.where(at, col, slot_c)
+    return slot_s, slot_c
 
 
 def parse_phymm(raw_file, informative: set[str], top_hits: int = 3):
-    """glimmer-mg.py:533 parse_phymm: per-read top-k informative genomes.
+    """Per-read top-k informative genomes from the raw Phymm matrix
+    (reference glimmer-mg.py:533).
 
     Returns (sequence_classes {read: [genome,...]}, top_scores {read: s}).
     """
     icm_paths, read_ids, scores = phymm.read_raw_phymm_output(raw_file)
     genomes = [phymm.path_to_genome(p) for p in icm_paths]
-    tops = [[""] * top_hits for _ in read_ids]
-    for g, genome in enumerate(genomes):
-        if genome in informative:
-            col = scores[:, g]
-            for s in range(len(read_ids)):
-                score_insert(tops[s], float(col[s]), g)
+    inf_cols = [g for g, name in enumerate(genomes) if name in informative]
+    slot_s, slot_c = running_top_k(scores[:, inf_cols], top_hits)
     sequence_classes = {}
     top_scores = {}
     for s, rid in enumerate(read_ids):
-        top_scores[rid] = tops[s][0][0] if tops[s][0] != "" else -np.inf
-        sequence_classes[rid] = [genomes[t[1]] for t in tops[s] if t != ""]
+        top_scores[rid] = slot_s[s, 0] if slot_c[s, 0] >= 0 else -np.inf
+        sequence_classes[rid] = [
+            genomes[inf_cols[c]] for c in slot_c[s] if c >= 0
+        ]
     return sequence_classes, top_scores
 
 

@@ -84,33 +84,42 @@ def init_stats():
     }
 
 
+def _bump(hist: dict, key, weight) -> None:
+    hist[key] = hist.get(key, 0) + weight
+
+
+def _start_codon_of(gene: Gene, hseq: str) -> str:
+    """Forward-oriented start codon of a gene (<=3 chars if the gene is)."""
+    body = hseq[gene.start : gene.end]
+    return body[:3] if gene.strand == 1 else rc(body[-3:])
+
+
 def parse_genes(stats, genes, seqs, hypothetical, min_length, max_overlap):
-    """train_features.py:223."""
+    """Accumulate the GENE-side feature histograms (the counts the reference
+    trainer derives from annotated/predicted genes, train_features.py:223):
+    amino-acid lengths, verified start-codon usage, and consecutive-gene
+    orientation + distance (distances kept only within max_overlap of
+    overlap; orientation pairs are (previous strand, current strand) over
+    genes with a valid strand)."""
     for header, hgenes in genes.items():
         hseq = seqs[header]
-        last_strand = ""
-        last_end = ""
+        prev = None
         for gene in hgenes:
-            gene_len = (gene.end - 3 - gene.start) // 3
+            aa_len = (gene.end - 3 - gene.start) // 3
             if gene.start not in hypothetical:
-                stats["lengths"][gene_len] = stats["lengths"].get(gene_len, 0) + 1
-            if gene.strand == 1:
-                gene_seq = hseq[gene.start : gene.end]
-            elif gene.strand == -1:
-                gene_seq = rc(hseq[gene.start : gene.end])
-            else:
-                continue
-            if gene.start_codon and gene_seq[:3] in FORWARD_STARTS:
-                stats["start_codons"][gene_seq[:3]] += 1
-            if last_strand != "":
-                orientation = (last_strand, gene.strand)
-                stats["adj_orients"][orientation] += 1
-                prev_distance = gene.start - last_end
-                if -prev_distance <= max_overlap:
-                    d = stats["adj_dist"][orientation]
-                    d[prev_distance] = d.get(prev_distance, 0) + 1
-            last_strand = gene.strand
-            last_end = gene.end
+                _bump(stats["lengths"], aa_len, 1)
+            if gene.strand not in (1, -1):
+                continue  # also excluded from the adjacency chain
+            codon = _start_codon_of(gene, hseq)
+            if gene.start_codon and codon in FORWARD_STARTS:
+                stats["start_codons"][codon] += 1
+            if prev is not None:
+                ori = (prev.strand, gene.strand)
+                stats["adj_orients"][ori] += 1
+                gap = gene.start - prev.end
+                if -gap <= max_overlap:
+                    _bump(stats["adj_dist"][ori], gap, 1)
+            prev = gene
 
 
 def _reverse_complement_genes(genes, seqs):
@@ -126,85 +135,100 @@ def _reverse_complement_genes(genes, seqs):
     return rgenes, rseqs
 
 
+def _stop_positions(hseq: str) -> list[int]:
+    """All positions (any frame) where a forward stop codon begins, plus the
+    three virtual stops just past the sequence end (truncated ORFs).
+    Vectorized byte-array matching; case-sensitive like the reference."""
+    import numpy as np
+
+    n = len(hseq)
+    arr = np.frombuffer(hseq.encode("latin-1"), dtype=np.uint8)
+    hit = np.zeros(max(n - 2, 0), dtype=bool)
+    for stop in FORWARD_STOPS:
+        if len(stop) == 3 and n >= 3:
+            s = np.frombuffer(stop.encode("latin-1"), dtype=np.uint8)
+            hit |= (arr[: n - 2] == s[0]) & (arr[1 : n - 1] == s[1]) & (
+                arr[2:] == s[2]
+            )
+    return np.flatnonzero(hit).tolist() + [n, n + 1, n + 2]
+
+
+def _orf_start_sites(hseq, stop_i, prev_gene_end, max_overlap):
+    """Candidate start sites of the ORF ending at ``stop_i``, walking
+    backwards codon by codon in frame.  Yields (position, codon) for each
+    start codon — plus one virtual start with codon "" when the walk runs
+    off the 5' end (ORF truncated at the sequence edge).  Stops at an
+    in-frame stop codon or once a start would overlap the preceding gene
+    by more than ``max_overlap``."""
+    pos = stop_i - 3
+    while True:
+        codon = hseq[pos : pos + 3] if pos >= 0 else ""
+        if codon in FORWARD_STOPS:
+            return
+        if codon == "" or codon in FORWARD_STARTS:
+            if prev_gene_end is not None and prev_gene_end - pos > max_overlap:
+                return
+            yield pos, codon
+        if pos < 0:
+            return
+        pos -= 3
+
+
 def _forward_parse_nongenes(genome_strand, genes, seqs, min_length, max_overlap,
                             start_codons, lengths, adj_orients, adj_dist):
-    """train_features.py:327 forward_parse_nongenes."""
+    """Accumulate the NON-side histograms from forward-strand non-gene ORFs
+    (reference train_features.py:320 semantics).
+
+    Every forward stop codon anchors a candidate ORF unless it is an
+    annotated gene's stop or overlaps the next gene by more than
+    ``max_overlap``.  Each candidate start contributes one length count;
+    starts of at least ``min_length`` nt also contribute a start-codon
+    count and orientation/distance counts against the flanking genes,
+    weighted 1/num_starts so each ORF adds one unit of adjacency evidence.
+    ``genome_strand=-1`` means the caller passed the reverse-complemented
+    coordinate system, so orientation pairs are mirrored back.
+    """
     for header, hgenes in genes.items():
         hseq = seqs[header]
-        preceeding_i = 0
-        succeeding_i = 0
-        n = len(hseq)
-        stop_positions = [
-            i for i in range(n) if hseq[i : i + 3] in FORWARD_STOPS
-        ] + [n, n + 1, n + 2]
+        cursor = 0  # first gene whose stop codon is not before stop_i
+        for stop_i in _stop_positions(hseq):
+            while cursor < len(hgenes) and hgenes[cursor].end - 3 < stop_i:
+                cursor += 1
+            nxt = hgenes[cursor] if cursor < len(hgenes) else None
+            prev = hgenes[cursor - 1] if cursor > 0 else None
 
-        for stop_i in stop_positions:
-            preceeding_i = max(preceeding_i, 0)
-            while preceeding_i < len(hgenes) and hgenes[preceeding_i].end - 3 < stop_i:
-                preceeding_i += 1
-            succeeding_i = preceeding_i if preceeding_i < len(hgenes) else -1
-            preceeding_i -= 1
-
-            if succeeding_i != -1:
-                if hgenes[succeeding_i].end - 3 == stop_i:
-                    continue  # ORF is a gene
-                succeeding_overlap = stop_i - hgenes[succeeding_i].start + 3
-                if succeeding_overlap > max_overlap:
+            if nxt is not None:
+                if nxt.end - 3 == stop_i:
+                    continue  # this ORF is an annotated gene
+                if stop_i + 3 - nxt.start > max_overlap:
                     continue
 
-            # count candidate starts
-            num_starts = 0
-            codon_i = stop_i
-            while codon_i >= 0:
-                codon_i -= 3
-                codon = hseq[codon_i : codon_i + 3] if codon_i >= 0 else ""
-                if codon in FORWARD_STOPS:
-                    break
-                if codon == "" or codon in FORWARD_STARTS:
-                    if preceeding_i != -1:
-                        if hgenes[preceeding_i].end - codon_i > max_overlap:
-                            break
-                    if 3 * ((stop_i - codon_i) // 3) >= min_length:
-                        num_starts += 1
-
-            # walk the ORF
-            codon_i = stop_i
-            while codon_i >= 0:
-                codon_i -= 3
-                codon = hseq[codon_i : codon_i + 3] if codon_i >= 0 else ""
-                if codon in FORWARD_STOPS:
-                    break
-                if codon == "" or codon in FORWARD_STARTS:
-                    if preceeding_i != -1:
-                        if hgenes[preceeding_i].end - codon_i > max_overlap:
-                            break
-                    nongene_len = (stop_i - codon_i) // 3
-                    if 3 * nongene_len < min_length:
-                        lengths[nongene_len] = lengths.get(nongene_len, 0) + 1
-                        continue
-                    lengths[nongene_len] = lengths.get(nongene_len, 0) + 1
-                    if codon:
-                        start_codons[codon] += 1
-                    if preceeding_i != -1:
-                        if genome_strand == 1:
-                            ori = (hgenes[preceeding_i].strand, 1)
-                        else:
-                            ori = (-1, -1 * hgenes[preceeding_i].strand)
-                        adj_orients[ori] += 1.0 / num_starts
-                        pre_distance = codon_i - hgenes[preceeding_i].end
-                        adj_dist[ori][pre_distance] = (
-                            adj_dist[ori].get(pre_distance, 0) + 1.0 / num_starts
-                        )
-                    if succeeding_i != -1:
-                        if genome_strand == 1:
-                            ori = (1, hgenes[succeeding_i].strand)
-                        else:
-                            ori = (-1 * hgenes[succeeding_i].strand, -1)
-                        adj_orients[ori] += 1.0 / num_starts
-                        suc_distance = hgenes[succeeding_i].start - (stop_i + 3)
-                        adj_dist[ori][suc_distance] = (
-                            adj_dist[ori].get(suc_distance, 0) + 1.0 / num_starts
-                        )
+            sites = list(_orf_start_sites(
+                hseq, stop_i, prev.end if prev is not None else None,
+                max_overlap,
+            ))
+            num_starts = sum(
+                1 for pos, _ in sites
+                if 3 * ((stop_i - pos) // 3) >= min_length
+            )
+            for pos, codon in sites:
+                aa_len = (stop_i - pos) // 3
+                _bump(lengths, aa_len, 1)
+                if 3 * aa_len < min_length:
+                    continue
+                if codon:
+                    start_codons[codon] += 1
+                if prev is not None:
+                    ori = ((prev.strand, 1) if genome_strand == 1
+                           else (-1, -prev.strand))
+                    adj_orients[ori] += 1.0 / num_starts
+                    _bump(adj_dist[ori], pos - prev.end, 1.0 / num_starts)
+                if nxt is not None:
+                    ori = ((1, nxt.strand) if genome_strand == 1
+                           else (-nxt.strand, -1))
+                    adj_orients[ori] += 1.0 / num_starts
+                    _bump(adj_dist[ori], nxt.start - (stop_i + 3),
+                          1.0 / num_starts)
 
 
 def parse_nongenes(stats, genes, seqs, min_length, max_overlap):

@@ -159,6 +159,43 @@ def test_scimm_mesh_uneven_batch(mg_db):
     np.testing.assert_array_equal(a_mesh, a_host)
 
 
+def test_running_top_k_matches_slot_automaton():
+    """The vectorized class-slot selection must reproduce the reference
+    driver's streaming insert exactly (glimmer-mg.py:536-605, insert at
+    :669), including its quirks: the first k columns fill slots unsorted,
+    later columns insert before the first slot they STRICTLY beat and the
+    LAST slot is dropped (so an early large value in a late slot can be
+    discarded). Scalar oracle below implements those rules directly."""
+
+    def oracle_row(row, k):
+        slots = []
+        for col, s in enumerate(row):
+            if len(slots) < k:
+                slots.append((s, col))  # fill phase: column order
+                continue
+            ip = 0
+            while ip < k and not (s > slots[ip][0]):
+                ip += 1
+            if ip < k:
+                slots = slots[:ip] + [(s, col)] + slots[ip:-1]
+        return slots
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n, c, k = int(rng.integers(1, 8)), int(rng.integers(1, 12)), 3
+        # quantized scores force ties; strict-> semantics must hold
+        scores = np.round(rng.standard_normal((n, c)) * 2, 1)
+        slot_s, slot_c = pipe.running_top_k(scores, k)
+        for r in range(n):
+            want = oracle_row(scores[r], k)
+            got = [(slot_s[r, j], slot_c[r, j]) for j in range(len(want))]
+            assert got == want, (trial, r, got, want)
+        # unfilled slots flagged with -1
+        for r in range(n):
+            for j in range(min(c, k), k):
+                assert slot_c[r, j] == -1
+
+
 def test_full_pipeline(mg_db):
     from glimmer_mg_tpu.utils.observe import StageTimers
 
