@@ -134,6 +134,21 @@ def device_frame_scores(jobs) -> list[np.ndarray] | None:
     kernel instance (mixed model_len/periodicity) — callers fall back to
     ``host_frame_scores``.
     """
+    fut = device_frame_scores_dispatch(jobs)
+    return device_frame_scores_finish(fut)
+
+
+def device_frame_scores_dispatch(jobs):
+    """Async half of :func:`device_frame_scores`: enqueue the device
+    computation and return an opaque future.
+
+    JAX dispatch is asynchronous, so the walk for chunk k+1 runs on the
+    chip while the host's event-DP engine processes chunk k (the
+    double-buffered streaming loop in :func:`run_glimmer_mg_classes`,
+    mirroring the reference's chunked main loop glimmer-mg.cc:327-452 but
+    with the 6-frame precompute off the critical path).  Returns None when
+    the job set cannot share one kernel instance.
+    """
     import jax
 
     from ..ops import icm_score
@@ -186,11 +201,22 @@ def device_frame_scores(jobs) -> list[np.ndarray] | None:
         gmip, gprobs, imip, iprobs, reads, lens, grp,
         model_len=model_len, depth=depth, gene_periodicity=periodicity,
     )
+    read_lens = [len(s) for _m, s in jobs]
+    return (gene, ind, read_lens)
+
+
+def device_frame_scores_finish(fut) -> list[np.ndarray] | None:
+    """Blocking half of :func:`device_frame_scores`: fetch the device
+    arrays and form the f64 gene-minus-null LLRs per read."""
+    import jax
+
+    if fut is None or fut == []:
+        return fut
+    gene, ind, read_lens = fut
     gene, ind = jax.device_get((gene, ind))
 
     out = []
-    for r, (_m, seq) in enumerate(jobs):
-        n = len(seq)
+    for r, n in enumerate(read_lens):
         fs = np.empty((6, n), dtype=np.float64)
         for f in range(3):
             fs[f] = (
@@ -810,18 +836,32 @@ def run_glimmer_mg_classes(
     use_device = _use_device_precompute(device_precompute)
     chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
     pending: list = []  # (header, seq_idx or None, models, quals, have_qual)
+    inflight: list = []  # at most one (chunk, device-future) being precomputed
 
-    def _flush():
-        jobs = [(m, s) for _h, s, m, _q, _hq in pending if m is not None]
-        fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
+    def _dispatch():
+        """Enqueue the current chunk's device precompute (async) and park it;
+        JAX dispatch returns immediately, so the chip walks chunk k+1 while
+        the host engine runs the event DP of chunk k."""
+        chunk = list(pending)
+        pending.clear()
+        jobs = [(m, s) for _h, s, m, _q, _hq in chunk if m is not None]
+        fut = (
+            device_frame_scores_dispatch(jobs) if (use_device and jobs) else None
+        )
+        inflight.append((chunk, fut))
+
+    def _consume():
+        chunk, fut = inflight.pop(0)
+        jobs_present = any(m is not None for _h, _s, m, _q, _hq in chunk)
+        fs_list = device_frame_scores_finish(fut) if fut is not None else None
         native_results = None
-        if _use_native() and jobs:
+        if _use_native() and jobs_present:
             native_results = _native_predict(
-                [(s, m, q, hq) for _h, s, m, q, hq in pending if m is not None],
+                [(s, m, q, hq) for _h, s, m, q, hq in chunk if m is not None],
                 fs_list, allow_indels, allow_subs,
             )
         ji = 0
-        for header, seq_idx, models, quals, have_qual in pending:
+        for header, seq_idx, models, quals, have_qual in chunk:
             if models is None:
                 yield header, []
                 continue
@@ -838,7 +878,13 @@ def run_glimmer_mg_classes(
                 allow_indels=allow_indels, allow_subs=allow_subs,
                 have_qual_file=have_qual, frame_scores=fs,
             )
-        pending.clear()
+
+    def _flush(final=False):
+        _dispatch()
+        # keep one chunk in flight: consume the PREVIOUS chunk while the
+        # device computes the one just dispatched (double buffering)
+        while len(inflight) > (0 if final else 1):
+            yield from _consume()
 
     for header, seq in iter_sequences:
         prefix = header.split()[0]
@@ -992,7 +1038,7 @@ def run_glimmer_mg_classes(
         pending.append((header, dna.encode(seq), models, quals, have_qual))
         if len(pending) >= chunk_size:
             yield from _flush()
-    yield from _flush()
+    yield from _flush(final=True)
 
 
 def _predict_read_with_models(models, seq, quals=None, *, allow_indels=False,
