@@ -197,10 +197,26 @@ def device_frame_scores_dispatch(jobs):
     grp = np.zeros(b_pad, dtype=np.int32)
     grp[: len(jobs)] = group
 
-    gene, ind = icm_score.mg_six_frame_batch(
-        gmip, gprobs, imip, iprobs, reads, lens, grp,
-        model_len=model_len, depth=depth, gene_periodicity=periodicity,
+    # TPU: the exact-f32 Pallas fixed-frame kernel (bitwise equal, ~an order
+    # of magnitude over the XLA gather walk); elsewhere: the XLA walk.
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("GLIMMER_MG_TPU_SIXFRAME") != "xla"
     )
+    if use_pallas:
+        from ..ops import icm_pallas
+
+        cache_key = (tuple(id(m) for m in gene_list), g_pad, depth)
+        gene, ind = icm_pallas.mg_six_frame_pallas(
+            gmip, gprobs, imip, iprobs, reads, lens, grp,
+            model_len=model_len, depth=depth, gene_periodicity=periodicity,
+            cache_key=cache_key,
+        )
+    else:
+        gene, ind = icm_score.mg_six_frame_batch(
+            gmip, gprobs, imip, iprobs, reads, lens, grp,
+            model_len=model_len, depth=depth, gene_periodicity=periodicity,
+        )
     read_lens = [len(s) for _m, s in jobs]
     return (gene, ind, read_lens)
 

@@ -263,3 +263,314 @@ def bank_score_reads_pallas(
     valid3 = jnp.stack([valid[:, f::3] for f in range(3)])  # (3, B, l3)
     scores = jnp.sum(out * valid3[None], axis=(1, 3))  # (M, B)
     return scores.T
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-frame per-base scoring (glimmer-mg 6-frame precompute)
+# ---------------------------------------------------------------------------
+
+
+def pack_tables_exact(bank_mip: np.ndarray, bank_probs: np.ndarray,
+                      depth: int = 7):
+    """(M, P, N) mip + (M, P, N, 4) probs -> EXACT kernel tables.
+
+    Unlike :func:`pack_tables` (16-bit fixed point for the classification
+    argmax path), the prob table here stays full f32 so per-base outputs are
+    bitwise equal to the reference walk (Frame_Score, icm.cc:485) — required
+    because the 6-frame LLRs feed the event DP whose output is byte-compared
+    against the reference binary.  Layout: flat entry index node*4 + last ->
+    (row = idx >> 7, lane = idx & 127); pruned nodes inherit their parent's
+    probs (the icm.cc:590 back-up folded in at pack time).
+
+    Tables are flattened over (model, frame) so a per-block scalar map can
+    select any (model, frame) pair: returns
+    (level_mip (M*P, LR, 128) i32, probs_x (M*P, PR, 128) f32).
+    """
+    m, p, n = bank_mip.shape
+    lr = _level_rows(depth)
+    level_mip = np.full((m, p, sum(lr), LANES), -1, dtype=np.int32)
+    off = 0
+    for k, rk in enumerate(lr):
+        base = (4**k - 1) // 3
+        cnt = min(4**k, max(0, n - base))
+        flat = np.full((m, p, rk * LANES), -1, dtype=np.int32)
+        flat[:, :, :cnt] = bank_mip[:, :, base : base + cnt].astype(np.int32)
+        level_mip[:, :, off : off + rk] = flat.reshape(m, p, rk, LANES)
+        off += rk
+
+    probs_eff = np.array(bank_probs, dtype=np.float32)
+    parent = np.maximum(0, (np.arange(n) - 1) // 4)
+    mi, pi, ni = np.nonzero(bank_mip == -2)
+    probs_eff[mi, pi, ni] = probs_eff[mi, pi, parent[ni]]
+
+    pr = (n * 4 + LANES - 1) // LANES
+    probs_x = np.zeros((m, p, pr * LANES), dtype=np.float32)
+    probs_x[:, :, : n * 4] = probs_eff.reshape(m, p, n * 4)
+    return (
+        level_mip.reshape(m * p, sum(lr), LANES),
+        probs_x.reshape(m * p, pr, LANES),
+    )
+
+
+def _fixed_frame_kernel(tab_map_ref, level_mip_ref, probs_ref, ctx_ref,
+                        thresh_ref, last_ref, out_ref, *, depth, groups, s_grp):
+    """Fixed-frame walk + exact f32 prob fetch for one position block.
+
+    The (model, frame) table pair was selected by the scalar-prefetch block
+    map in the BlockSpec index_maps; the body is the same level-synchronized
+    lane-gather walk as ``_walk_kernel`` with an unpacked f32 final gather.
+    """
+    del tab_map_ref  # consumed by the index_maps only
+    lm = level_mip_ref[0]
+    pb = probs_ref[0]
+    g_slice = lambda ref, g: ref[0][g * s_grp : (g + 1) * s_grp, :]
+    shape = (s_grp, LANES)
+    ctxs = [g_slice(ctx_ref, g) for g in range(groups)]
+    threshs = [g_slice(thresh_ref, g) for g in range(groups)]
+    lasts = [g_slice(last_ref, g) for g in range(groups)]
+
+    nodes = [jnp.zeros(shape, jnp.int32) for _ in range(groups)]
+    dones = [jnp.zeros(shape, dtype=jnp.bool_) for _ in range(groups)]
+    lrows = _level_rows(depth)
+    off = 0
+    for k in range(depth):
+        base_k = (4**k - 1) // 3
+        poss = []
+        for g in range(groups):
+            o = nodes[g] - base_k
+            lane_idx = o & (LANES - 1)
+            if lrows[k] == 1:
+                poss.append(_row_gather(lm, off, 1, lane_idx, None, None, shape))
+            else:
+                poss.append(
+                    _row_gather(
+                        lm, off, lrows[k], lane_idx, o >> 7,
+                        jnp.full(shape, -1, jnp.int32), shape,
+                    )
+                )
+        off += lrows[k]
+        for g in range(groups):
+            avail = poss[g] >= threshs[g]
+            b = (ctxs[g] >> (2 * jnp.maximum(poss[g], 0))) & 3
+            child = 4 * nodes[g] + b + 1
+            nodes[g] = jnp.where(dones[g] | ~avail, nodes[g], child)
+            dones[g] = dones[g] | ~avail
+
+    outs = []
+    for g in range(groups):
+        idx = nodes[g] * 4 + lasts[g]
+        outs.append(
+            _row_gather(pb, 0, pb.shape[0], idx & (LANES - 1), idx >> 7,
+                        jnp.zeros(shape, jnp.float32), shape)
+        )
+    out_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_len", "depth", "interpret", "reads_per_block",
+                     "groups"),
+)
+def fixed_frame_scores_pallas(
+    level_mip,  # (T, LR, 128) i32 from pack_tables_exact (T = models*frames)
+    probs_x,  # (T, PR, 128) f32
+    seqs,  # (C, B, L) int32 — C independent sequence variants per read
+    lengths,  # (B,)
+    tab_map,  # (C, n_read_blocks) int32 — table index per position block
+    model_len: int = 12,
+    depth: int = 7,
+    interpret: bool = False,
+    reads_per_block: int = 8,
+    groups: int = 4,
+):
+    """(C, B, L) f32 per-base log-probs with a per-block (model, frame) map.
+
+    Each position block covers ``reads_per_block`` whole reads of one
+    sequence variant c; ``tab_map[c, rb]`` picks its walk/prob tables, so a
+    chunk of reads parameterized by DIFFERENT per-read models (glimmer-mg
+    classes mode) runs as ONE kernel launch — the reference reloads each ICM
+    once per 500k-read chunk instead (glimmer-mg.cc:327-452).  Exact-f32:
+    outputs are bitwise equal to models.icm.per_base_logprob_vec.
+    """
+    t, lr, _ = level_mip.shape
+    sv, b, l = seqs.shape
+    c = tab_map.shape[0]
+    if c % sv != 0:
+        raise ValueError("tab_map combos must be a multiple of seq variants")
+    fps = c // sv  # frames per sequence variant (combo cc uses seqs[cc//fps])
+    if (b % reads_per_block) != 0:
+        raise ValueError("pad batch to a multiple of reads_per_block")
+    e_blk = reads_per_block * l
+    if e_blk % (LANES * groups) != 0:
+        raise ValueError("reads_per_block * L must divide LANES * groups")
+    s_blk = e_blk // LANES
+    s_grp = s_blk // groups
+    n_rb = b // reads_per_block
+
+    w = model_len - 1
+    s32 = seqs.astype(jnp.int32)
+    padded = jnp.concatenate([jnp.zeros((sv, b, w), jnp.int32), s32], axis=2)
+    ctx = jnp.zeros((sv, b, l), jnp.int32)
+    for k in range(w):
+        ctx = ctx | (jax.lax.dynamic_slice_in_dim(padded, k, l, axis=2) << (2 * k))
+    i = jnp.arange(l, dtype=jnp.int32)
+    thresh = jnp.broadcast_to(jnp.maximum(0, w - i)[None, None, :], (sv, b, l))
+
+    def prep(x):
+        return x.reshape(sv, n_rb * s_blk, LANES)
+
+    ctx_p, thr_p, last_p = prep(ctx), prep(thresh), prep(s32)
+
+    grid = (c, n_rb)
+    out = pl.pallas_call(
+        functools.partial(
+            _fixed_frame_kernel, depth=depth, groups=groups, s_grp=s_grp
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, lr, LANES),
+                             lambda cc, bb, m: (m[cc, bb], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, probs_x.shape[1], LANES),
+                             lambda cc, bb, m: (m[cc, bb], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_blk, LANES),
+                             lambda cc, bb, m: (cc // fps, bb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_blk, LANES),
+                             lambda cc, bb, m: (cc // fps, bb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_blk, LANES),
+                             lambda cc, bb, m: (cc // fps, bb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, s_blk, LANES), lambda cc, bb, m: (cc, bb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, n_rb * s_blk, LANES), jnp.float32),
+        interpret=interpret,
+    )(tab_map.astype(jnp.int32), level_mip, probs_x, ctx_p, thr_p, last_p)
+    return out.reshape(c, b, l)
+
+
+def _pick_reads_per_block(l: int, groups: int = 4, target: int = 4096) -> int:
+    """Smallest reads/block >= target positions with rpb*L % (128*groups) == 0."""
+    quantum = LANES * groups
+    for rpb in range(1, 129):
+        if (rpb * l) % quantum == 0 and rpb * l >= target:
+            return rpb
+    for rpb in range(128, 0, -1):
+        if (rpb * l) % quantum == 0:
+            return rpb
+    raise ValueError(f"read length {l} incompatible with lane quantum")
+
+
+_EXACT_TABLE_CACHE: dict = {}
+
+
+def exact_tables_cached(key, bank_mip, bank_probs, depth):
+    """pack_tables_exact with a process-wide cache (chunks reuse model sets)."""
+    hit = _EXACT_TABLE_CACHE.get(key)
+    if hit is None:
+        if len(_EXACT_TABLE_CACHE) > 64:
+            _EXACT_TABLE_CACHE.clear()
+        hit = pack_tables_exact(bank_mip, bank_probs, depth)
+        _EXACT_TABLE_CACHE[key] = hit
+    return hit
+
+
+def mg_six_frame_pallas(
+    gene_mip,  # (G, P, N) int — stacked gene ICM bank (numpy)
+    gene_probs,  # (G, P, N, 4) f32
+    indep_mip,  # (G, 3, N2) int — per-model null ICMs
+    indep_probs,  # (G, 3, N2, 4) f32
+    reads: np.ndarray,  # (B, L) int32 padded base indices
+    lengths: np.ndarray,  # (B,)
+    group: np.ndarray,  # (B,) int32 — bank index of each read's model pair
+    model_len: int = 12,
+    depth: int = 7,
+    gene_periodicity: int = 3,
+    interpret: bool = False,
+    cache_key=None,
+):
+    """Pallas TPU path of the 6-frame precompute: bitwise equal to
+    :func:`glimmer_mg_tpu.ops.icm_score.mg_six_frame_batch` (same return
+    convention) but through the lane-gather walk kernel with exact f32
+    tables — the end-to-end prediction engine's device fast path.
+
+    Host-side: reads are stably sorted by model group and each group padded
+    to whole position blocks so every kernel block is model-homogeneous;
+    ``tab_map`` then drives the scalar-prefetch table selection.  Outputs
+    are un-permuted back to input order.
+    """
+    b, l = reads.shape
+    g, p, _n = gene_mip.shape
+    rpb = _pick_reads_per_block(l)
+
+    grp = np.asarray(group)
+    order = np.argsort(grp, kind="stable")
+    sorted_groups = grp[order]
+    present = np.unique(sorted_groups)
+    rows = []  # padded row -> source read index (-1 = pad)
+    block_groups = []
+    for gi in present:
+        lo, hi = np.searchsorted(sorted_groups, [gi, gi + 1])
+        members = order[lo:hi]
+        padded_n = -(-len(members) // rpb) * rpb
+        rows.extend(members.tolist())
+        rows.extend([-1] * (padded_n - len(members)))
+        block_groups.extend([int(gi)] * (padded_n // rpb))
+    # bucket the padded batch so jit shapes stay warm across chunks
+    b2 = len(rows)
+    quantum = max(rpb * 8, 128)
+    b2_pad = max(rpb, -(-b2 // quantum) * quantum)
+    rows.extend([-1] * (b2_pad - b2))
+    block_groups.extend([int(present[0]) if len(present) else 0]
+                        * ((b2_pad - b2) // rpb))
+    rows_arr = np.asarray(rows, dtype=np.int64)
+    src = np.maximum(rows_arr, 0)
+
+    reads2 = np.asarray(reads, dtype=np.int32)[src]
+    lens2 = np.where(rows_arr >= 0, np.asarray(lengths, dtype=np.int32)[src], 0)
+
+    # sequence variants: reversed read (fwd frames), complemented (rev frames)
+    i = np.arange(l)
+    ridx = lens2[:, None] - 1 - i[None, :]
+    rev = np.where(ridx >= 0, np.take_along_axis(reads2, np.maximum(ridx, 0), 1), 0)
+    comp = np.where(i[None, :] < lens2[:, None], 3 - reads2, 0)
+    seqs = np.stack([rev, comp]).astype(np.int32)  # (2, B2, L)
+
+    n_rb = len(block_groups)
+    bg = np.asarray(block_groups, dtype=np.int32)
+    tab_map = np.stack([bg * 3 + (cc % 3) for cc in range(6)])  # (6, n_rb)
+
+    gkey = (cache_key, "gene", depth) if cache_key is not None else None
+    ikey = (cache_key, "ind") if cache_key is not None else None
+    if gkey is not None:
+        glm, gpx = exact_tables_cached(gkey, gene_mip, gene_probs, depth)
+        ilm, ipx = exact_tables_cached(ikey, indep_mip, indep_probs, 2)
+    else:
+        glm, gpx = pack_tables_exact(gene_mip, gene_probs, depth)
+        ilm, ipx = pack_tables_exact(indep_mip, indep_probs, 2)
+
+    gene_out = fixed_frame_scores_pallas(
+        glm, gpx, seqs, lens2, tab_map, model_len=model_len, depth=depth,
+        interpret=interpret, reads_per_block=rpb,
+    )
+    ind_out = fixed_frame_scores_pallas(
+        ilm, ipx, seqs, lens2, tab_map, model_len=3, depth=2,
+        interpret=interpret, reads_per_block=rpb,
+    )
+
+    # (6, B2, L) -> input read order (B, 6, L)
+    inv = np.full(b, -1, dtype=np.int64)
+    for row, srcread in enumerate(rows_arr):
+        if srcread >= 0:
+            inv[srcread] = row
+    gene_r = jnp.transpose(gene_out, (1, 0, 2))[inv]
+    ind_r = jnp.transpose(ind_out, (1, 0, 2))[inv]
+    return gene_r, ind_r

@@ -43,6 +43,39 @@ def test_pallas_kernel_interpret(golden):
     assert (np.abs(got - want) <= bound).all(), np.abs(got - want).max()
 
 
+def test_six_frame_pallas_bitwise(golden):
+    """The exact-f32 Pallas fixed-frame kernel (interpret mode) is bitwise
+    equal to the XLA six-frame precompute — required because its output
+    feeds the byte-compared event DP (VERDICT r3 item 1)."""
+    from glimmer_mg_tpu.models.icm import build_indep_wo_stops
+
+    rng = np.random.default_rng(5)
+    other = icm_mod.ICM(12, 7, 3, golden.mip.copy(),
+                        (golden.probs * 1.2).astype(np.float32))
+    gmip, gprobs = icm_score.stack_bank([golden, other])
+    indeps = [build_indep_wo_stops(0.41, ("taa", "tag", "tga")),
+              build_indep_wo_stops(0.62, ("taa", "tag", "tga"))]
+    imip, iprobs = icm_score.stack_bank(indeps)
+
+    b, l = 5, 384
+    reads = rng.integers(0, 4, (b, l), dtype=np.int32)
+    lengths = np.array([384, 200, 51, 12, 3], np.int32)
+    group = np.array([0, 1, 0, 1, 1], np.int32)
+
+    want_g, want_i = icm_score.mg_six_frame_batch(
+        gmip, gprobs, imip, iprobs, reads, lengths, group,
+        model_len=12, depth=7, gene_periodicity=3)
+    got_g, got_i = icm_pallas.mg_six_frame_pallas(
+        gmip, gprobs, imip, iprobs, reads, lengths, group,
+        model_len=12, depth=7, gene_periodicity=3, interpret=True)
+    want_g, want_i, got_g, got_i = map(np.asarray, (want_g, want_i, got_g, got_i))
+    # compare only real positions (pads may differ in reversal handling)
+    for r in range(b):
+        n = lengths[r]
+        assert np.array_equal(got_g[r, :, :n], want_g[r, :, :n]), f"gene read {r}"
+        assert np.array_equal(got_i[r, :, :n], want_i[r, :, :n]), f"ind read {r}"
+
+
 def test_revcomp_reads():
     rng = np.random.default_rng(1)
     reads = rng.integers(0, 4, (3, 20), dtype=np.int32)
