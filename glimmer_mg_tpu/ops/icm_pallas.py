@@ -526,7 +526,7 @@ def mg_six_frame_pallas(
         block_groups.extend([int(gi)] * (padded_n // rpb))
     # bucket the padded batch so jit shapes stay warm across chunks
     b2 = len(rows)
-    quantum = max(rpb * 8, 128)
+    quantum = rpb * max(8, -(-128 // rpb))
     b2_pad = max(rpb, -(-b2 // quantum) * quantum)
     rows.extend([-1] * (b2_pad - b2))
     block_groups.extend([int(present[0]) if len(present) else 0]
