@@ -96,6 +96,45 @@ def classify_step_pallas(level_mip, probs_pk, reads, lengths, model_len=12, dept
     return scores, jnp.argmax(scores, axis=1).astype(jnp.int32)
 
 
+def classify_step_pallas_sharded(
+    mesh, level_mip, probs_pk, reads, lengths, model_len=12, depth=7,
+    interpret=False,
+):
+    """Pallas classification sharded over a (data, model) mesh.
+
+    ``shard_map`` runs the lane-gather walk kernel per shard on its local
+    (model-slice, read-slice) block — the reference's TWO phymm_par.py
+    fan-out modes at once (ICM-sharded :146-200 and read-sharded :210-261)
+    with XLA collectives as the file merge. Per-chip throughput equals the
+    single-chip Pallas path (no fallback to the slow XLA walk).
+
+    The bank's leading dim must divide by the ``model`` axis size and the
+    batch by ``data`` (callers pad; see phymm.PhymmBank.score_reads).
+    Returns (scores (B, M) f32, best (B,) int32) fully replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.icm_pallas import bank_score_reads_pallas
+
+    def _local(lm, pk, r, ln):
+        fwd = bank_score_reads_pallas(
+            lm, pk, r, ln, model_len, depth, interpret=interpret)
+        rc = revcomp_reads(r, ln)
+        rev = bank_score_reads_pallas(
+            lm, pk, rc, ln, model_len, depth, interpret=interpret)
+        return jnp.maximum(fwd, rev)
+
+    local = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("model"), P("model"), P("data"), P("data")),
+        out_specs=P("data", "model"),
+        check_vma=False,
+    )
+    scores = local(level_mip, probs_pk, reads, lengths)
+    return scores, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+
 def pad_reads(seqs, length=None):
     """Encode + pad a list of sequences to a (B, L) int32 batch."""
     enc = [dna.encode(s) for s in seqs]

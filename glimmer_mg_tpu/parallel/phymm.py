@@ -69,15 +69,17 @@ class PhymmBank:
         import jax
 
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu" and mesh is None
+            use_pallas = jax.default_backend() == "tpu"
         n = len(seqs)
         m = len(self.paths)
         out = np.zeros((n, m), dtype=np.float32)
         length = max((len(s) for s in seqs), default=0)
         length = max(3, length + (-length) % 3)  # pallas needs L % 3 == 0
 
-        mip_s = probs_s = None
+        mip_s = probs_s = lm_s = pk_s = None
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from . import mesh as pmesh
 
             dat, mdl = mesh.shape["data"], mesh.shape["model"]
@@ -88,7 +90,14 @@ class PhymmBank:
                 probs = np.concatenate(
                     [probs, np.repeat(probs[:1], pad_m, axis=0)]
                 )
-            mip_s, probs_s = pmesh.shard_bank(mesh, mip, probs)
+            if use_pallas:
+                # the Pallas fast path runs per shard via shard_map — the
+                # mesh no longer falls back to the slow XLA walk
+                lm, pk = icm_pallas.pack_tables(mip, probs, depth=self.depth)
+                ms = NamedSharding(mesh, P("model"))
+                lm_s, pk_s = jax.device_put(lm, ms), jax.device_put(pk, ms)
+            else:
+                mip_s, probs_s = pmesh.shard_bank(mesh, mip, probs)
 
         for lo in range(0, n, batch):
             chunk = seqs[lo : lo + batch]
@@ -101,11 +110,17 @@ class PhymmBank:
                     reads = np.pad(reads, ((0, pad_b), (0, 0)))
                     lengths = np.pad(lengths, (0, pad_b))
                 reads_s, lengths_s = pmesh.shard_reads(mesh, reads, lengths)
-                with mesh:
-                    scores, _ = pclassify.classify_step(
-                        mip_s, probs_s, reads_s, lengths_s,
+                if use_pallas:
+                    scores, _ = pclassify.classify_step_pallas_sharded(
+                        mesh, lm_s, pk_s, reads_s, lengths_s,
                         self.model_len, self.depth,
                     )
+                else:
+                    with mesh:
+                        scores, _ = pclassify.classify_step(
+                            mip_s, probs_s, reads_s, lengths_s,
+                            self.model_len, self.depth,
+                        )
                 # multi-host safe: process_allgather instead of np.asarray
                 scores = pmesh.materialize(scores)[: len(chunk), :m]
             elif use_pallas:

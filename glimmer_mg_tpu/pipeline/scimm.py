@@ -108,8 +108,9 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
 
     from ..ops import icm_pallas, icm_train_device
 
-    use_pallas = jax.default_backend() == "tpu" and mesh is None
+    use_pallas = jax.default_backend() == "tpu"
     n_reads = reads.shape[0]
+    n_pad_models = n_clusters
     if mesh is not None:
         from ..parallel import mesh as pmesh
 
@@ -117,6 +118,7 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
         # no scores) — NamedSharding requires even divisibility
         reads, lengths, n_reads = pmesh.pad_batch(mesh, reads, lengths)
         reads, lengths = pmesh.shard_reads(mesh, reads, lengths)
+        n_pad_models = -(-n_clusters // mesh.shape["model"]) * mesh.shape["model"]
 
     assign = np.asarray(init_assign, dtype=np.int32).copy()
     scores = mip = probs = None
@@ -129,7 +131,25 @@ def _device_em(reads, lengths, init_assign, n_clusters, max_iters, mesh=None,
         )
         if it == max_iters:
             break
-        if use_pallas:
+        if use_pallas and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as pmesh
+
+            # sharded Pallas fast path: pad the retrained bank to the model
+            # axis and shard_map the walk kernel (no XLA-walk fallback)
+            mip_h, probs_h = np.asarray(mip), np.asarray(probs)
+            if n_pad_models > n_clusters:
+                pad = n_pad_models - n_clusters
+                mip_h = np.concatenate([mip_h, np.repeat(mip_h[:1], pad, 0)])
+                probs_h = np.concatenate([probs_h, np.repeat(probs_h[:1], pad, 0)])
+            lm, pk = icm_pallas.pack_tables(mip_h, probs_h, depth=depth)
+            ms = NamedSharding(mesh, P("model"))
+            scores, _ = pclassify.classify_step_pallas_sharded(
+                mesh, jax.device_put(lm, ms), jax.device_put(pk, ms),
+                reads, lengths, model_len, depth)
+            scores = pmesh.materialize(scores)[:, :n_clusters]
+        elif use_pallas:
             tabs = icm_pallas.pack_tables(np.asarray(mip), np.asarray(probs),
                                           depth=depth)
             scores, _ = pclassify.classify_step_pallas(

@@ -142,6 +142,42 @@ def test_bank_scale_sharded_classification(golden):
     np.testing.assert_array_equal(np.asarray(best), np.asarray(best_want))
 
 
+def test_sharded_pallas_classification(golden):
+    """shard_map'd Pallas classification == unsharded Pallas scores on the
+    8-CPU mesh (VERDICT r2 item 3: the mesh path must not fall back to the
+    slow XLA walk)."""
+    rng = np.random.default_rng(13)
+    icms = [
+        icm_mod.ICM(12, 4, 3, golden.mip[:, : icm_mod.num_tree_nodes(4)].copy(),
+                    (golden.probs[:, : icm_mod.num_tree_nodes(4)]
+                     * (1.0 + 0.03 * rng.standard_normal(1))).astype(np.float32))
+        for _ in range(8)
+    ]
+    mip, probs = icm_score.stack_bank(icms)
+    tabs = icm_pallas.pack_tables(mip, probs, depth=4)
+    reads = rng.integers(0, 4, (8, 120), dtype=np.int32)
+    lengths = rng.integers(10, 121, 8).astype(np.int32)
+
+    fwd = icm_pallas.bank_score_reads_pallas(
+        tabs[0], tabs[1], reads, lengths, 12, 4, interpret=True)
+    rc = pclassify.revcomp_reads(reads, lengths)
+    rev = icm_pallas.bank_score_reads_pallas(
+        tabs[0], tabs[1], np.asarray(rc), lengths, 12, 4, interpret=True)
+    want = np.maximum(np.asarray(fwd), np.asarray(rev))
+    best_want = np.argmax(want, axis=1)
+
+    mesh = pmesh.make_mesh(data=2, model=4)
+    reads_s, lengths_s = pmesh.shard_reads(mesh, reads, lengths)
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    lm_s = _jax.device_put(tabs[0], NamedSharding(mesh, P("model")))
+    pk_s = _jax.device_put(tabs[1], NamedSharding(mesh, P("model")))
+    got, best = pclassify.classify_step_pallas_sharded(
+        mesh, lm_s, pk_s, reads_s, lengths_s, 12, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(best_want))
+
+
 def test_sharded_em_step_runs():
     mesh = pmesh.make_mesh(data=4, model=2)
     rng = np.random.default_rng(3)
