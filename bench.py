@@ -124,9 +124,12 @@ def bench_kernel(n_models=N_MODELS, batch=BATCH, steps=STEPS):
     int(many_noop(reads, 1, steps))
     overhead = time.time() - t0
 
-    t0 = time.time()
-    float(many_steps(*tabs, reads, lengths, 1, steps))
-    dt = max(1e-9, (time.time() - t0 - overhead)) / steps
+    runs = []
+    for rep in range(3):
+        t0 = time.time()
+        float(many_steps(*tabs, reads, lengths, 1 + rep, steps))
+        runs.append(max(1e-9, (time.time() - t0 - overhead)) / steps)
+    dt = min(runs)
 
     total_bp = int(np.sum(lengths))
     model_mbp = total_bp * n_models * 2 / 1e6  # fwd + revcomp passes
@@ -154,6 +157,7 @@ def bench_kernel(n_models=N_MODELS, batch=BATCH, steps=STEPS):
             "read_len": READ_LEN,
             "models": n_models,
             "step_ms": round(dt * 1e3, 2),
+            "step_ms_runs": [round(r * 1e3, 2) for r in runs],
             "steps": steps,
             "overhead_ms": round(overhead * 1e3, 1),
             "compile_s": round(compile_s, 1),
@@ -166,19 +170,35 @@ def bench_kernel(n_models=N_MODELS, batch=BATCH, steps=STEPS):
     }
 
 
+N_BENCH_READS = 50000  # >= 50x the 999-read fixture; best_s lands >= 2 s
+
+
+def _timed_runs(fn, n=4):
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        out = fn()
+        times.append(time.time() - t0)
+    return out, times
+
+
 def bench_reads_per_s():
     """End-to-end glimmer-mg classification-mode prediction throughput.
 
-    Runs the complete per-read pipeline through the production engine
-    configuration for this machine: the native C++ engine (ORF scan, start/
-    error scanning, RBS + feature scoring, event DP, traceback) with the
-    6-frame ICM LLR precompute computed by the native tree walk — the
-    device precompute path exists (engine.glimmer_mg.device_frame_scores)
-    but this host's device tunnel is far slower than PCIe, so the bench
-    pins the host-walk configuration.  Output is byte-identical to the
-    reference binary (tests/test_native.py, tests/test_glimmer_mg.py).
-    Best-of-4 after one warm pass (same protocol as the reference baseline
-    measurement in tools/measure_reference.py).
+    Primary configuration: the native C++ engine (ORF scan, start/error
+    scanning, RBS + feature scoring, event DP, traceback) with its own
+    6-frame tree walk, over the 999 sample reads tiled to 50k (distinct
+    headers, classes replicated) — best-of-4 after one warm pass, spread
+    reported.  Output is byte-identical to the reference binary
+    (tests/test_native.py, tests/test_glimmer_mg.py).
+
+    The device configuration (native DP + exact-f32 Pallas 6-frame
+    precompute, engine "native+device") is measured on the untiled 999
+    reads and reported in detail: per-base LLR shipping costs ~12 KB/read
+    and this rig's device tunnel moves ~35 MB/s, so recomputing the walk on
+    the host (~35 us/read on 2 cores) wins here; the device path is the
+    right configuration when host<->device bandwidth is PCIe-class.  Its
+    output is byte-identical too (the Pallas tables are exact f32).
     """
     from glimmer_mg_tpu import bench_db, native
     from glimmer_mg_tpu.engine import glimmer_mg as mg
@@ -188,25 +208,53 @@ def bench_reads_per_s():
     t0 = time.time()
     classes, _genomes = bench_db.build_bench_db(db)
     db_s = time.time() - t0
-    reads, class_lines = bench_db.bench_reads_and_classes(classes)
+    reads1k, class_lines1k = bench_db.bench_reads_and_classes(classes)
+    reads, class_lines = bench_db.tile_reads(reads1k, class_lines1k,
+                                             N_BENCH_READS)
     gd = GenomeData(os.path.join(db, "genomeData"))
     cls_map = {}
     for line in class_lines:
         parts = line.split()
         cls_map[parts[0]] = parts[1:]
 
+    def run(rd, device):
+        return list(
+            mg.run_glimmer_mg_classes(rd, gd, cls_map, device_precompute=device)
+        )
+
     t0 = time.time()
-    list(mg.run_glimmer_mg_classes(reads, gd, cls_map, device_precompute=False))
+    run(reads, False)
     cold_s = time.time() - t0
 
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.time()
-        results = list(
-            mg.run_glimmer_mg_classes(reads, gd, cls_map, device_precompute=False)
-        )
-        best = min(best, time.time() - t0)
+    results, times = _timed_runs(lambda: run(reads, False))
+    best = min(times)
     n_genes = sum(len(g) for _h, g in results)
+
+    # chunk-size sensitivity (reference streams 500k-read chunks,
+    # glimmer-mg.cc:130-131; ours is a pipeline depth knob)
+    chunk_s = {}
+    for chunk in ("256", "2048"):
+        os.environ["GLIMMER_MG_TPU_CHUNK"] = chunk
+        _, t = _timed_runs(lambda: run(reads, False), n=1)
+        chunk_s[chunk] = round(len(reads) / t[0], 1)
+    os.environ.pop("GLIMMER_MG_TPU_CHUNK", None)
+
+    # device configuration on the untiled read set (shipping 50k reads'
+    # LLR tables over this tunnel would measure the tunnel, not the work)
+    dev_detail = {}
+    try:
+        run(reads1k, True)  # compile + warm
+        res_d, t_d = _timed_runs(lambda: run(reads1k, True), n=2)
+        dev_detail = {
+            "reads": len(reads1k),
+            "reads_per_s": round(len(reads1k) / min(t_d), 1),
+            "runs_s": [round(x, 3) for x in t_d],
+            "engine": "native+device",
+            "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
+                    "host walk ~35us/read wins on this rig (COMPONENTS.md)",
+        }
+    except Exception as e:  # pragma: no cover - depends on chip availability
+        dev_detail = {"error": str(e)[:200]}
 
     value = len(reads) / best
     out = {
@@ -220,9 +268,14 @@ def bench_reads_per_s():
             "engine": "native" if native.available() else "python",
             "threads": native.default_threads(),
             "best_s": round(best, 3),
+            "runs_s": [round(x, 3) for x in times],
             "cold_s": round(cold_s, 1),
             "db_build_s": round(db_s, 1),
+            "reads_per_s_by_chunk": chunk_s,
+            "device_config": dev_detail,
             "reference_reads_per_s": REFERENCE_READS_PER_S,
+            "note": "r2->r3: reads 999->50000 (tiled), best_s >= 2s, "
+                    "spread + chunk sensitivity + device config added",
         },
     }
     print(json.dumps(out), flush=True)

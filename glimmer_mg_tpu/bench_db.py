@@ -106,6 +106,31 @@ def bench_reads_and_classes(classes, seed: int = 3, top_k: int = 2):
     return recs, class_lines
 
 
+def tile_reads(reads, class_lines, target: int):
+    """Tile a read set (with its class calls) to >= ``target`` reads.
+
+    Copies get distinct header prefixes (``<id>_t<k>``) so the per-read
+    class map stays 1:1; model mixing/caching behaves as in a real run at
+    that scale (many reads per class pair). Mirrors probing the reference's
+    500k-read chunk granularity (glimmer-mg.cc:130-131) without shipping a
+    500k-read fixture.
+    """
+    out_reads = list(reads)
+    out_lines = list(class_lines)
+    k = 1
+    while len(out_reads) < target:
+        for (h, s), line in zip(reads, class_lines):
+            toks = line.split("\t")
+            hh = h.split()
+            new_id = f"{hh[0]}_t{k}"
+            out_reads.append((new_id, s))
+            out_lines.append("%s\t%s" % (new_id, toks[1]))
+            if len(out_reads) >= target:
+                break
+        k += 1
+    return out_reads, out_lines
+
+
 def build_reference_classes_binary(db_root) -> str:
     """Compile the reference glimmer-mg with ICM_dir patched to the bench DB
     (the reference hard-codes it; install_glimmer.py:122-125). Returns the

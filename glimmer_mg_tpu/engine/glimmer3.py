@@ -169,7 +169,86 @@ class PwmScorer:
         return score, best_sep
 
 
-def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer):
+class G3Precompute:
+    """Whole-genome fixed-frame per-base log-probs for fast ORF rescoring.
+
+    The reference rescores every ORF with a fresh tree walk over its
+    reversed/complemented buffer (Score_Orfs -> Cumulative_Score,
+    glimmer3.cc:1275/icm.cc:354).  Because an ORF buffer is a slice of the
+    reversed (+ strand) or complemented (- strand) genome, the cycling-frame
+    per-base values of every ORF are selections from SIX whole-genome
+    fixed-frame passes — the same precompute glimmer-mg uses per read
+    (Score_All_Frames, glimmer-mg.cc:1468), lifted to the whole genome.
+    Only a buffer's first model_len-1 positions differ (the fresh buffer
+    starts with partial context windows); those are recomputed per ORF.
+
+    ``rev_*[f]``/``comp_*[f]`` hold frame-f per-base f32 log-probs over the
+    reversed / complemented genome; values are bitwise equal to the
+    per-ORF walk outside the partial-window head.
+    """
+
+    def __init__(self, models: Models, seq_idx: np.ndarray):
+        g, ind = models.gene_icm, models.indep_model
+        native_done = False
+        try:
+            from .. import native as native_mod
+
+            if native_mod.available():
+                gene6, ind6 = native_mod.fixed_frame_probs(g, ind, seq_idx)
+                self.rev_gene, self.comp_gene = gene6[:3], gene6[3:]
+                self.rev_ind, self.comp_ind = ind6[:3], ind6[3:]
+                native_done = True
+        except Exception:
+            native_done = False
+        if not native_done:
+            rev = seq_idx[::-1]
+            comp = dna.COMPLEMENT_INDEX[seq_idx]
+
+            def six(icm):
+                return (
+                    np.stack([
+                        icm_mod.per_base_logprob_vec(icm, rev, f, cycle=False)
+                        for f in range(3)
+                    ]),
+                    np.stack([
+                        icm_mod.per_base_logprob_vec(icm, comp, f, cycle=False)
+                        for f in range(3)
+                    ]),
+                )
+
+            self.rev_gene, self.comp_gene = six(g)
+            self.rev_ind, self.comp_ind = six(ind)
+        self.head = models.gene_icm.model_len - 1
+
+    def orf_llr(self, models: Models, buff: np.ndarray, a: int, plus: bool):
+        """Cumulative gene-minus-null LLR of one ORF buffer starting at
+        offset ``a`` of the reversed (plus) or complemented (minus) genome;
+        the summation is a fresh per-ORF f64 cumsum exactly like the
+        reference's Cumulative_Score."""
+        mm = len(buff)
+        sel = (1 + np.arange(mm)) % 3
+        pos = a + np.arange(mm)
+        if plus:
+            gene_pb = self.rev_gene[sel, pos]
+            indep_pb = self.rev_ind[sel, pos]
+        else:
+            gene_pb = self.comp_gene[sel, pos]
+            indep_pb = self.comp_ind[sel, pos]
+        head = min(self.head, mm)
+        if head and a > 0:  # buffer-local partial windows differ from genome
+            gene_pb = gene_pb.copy()
+            indep_pb = indep_pb.copy()
+            gene_pb[:head] = icm_mod.per_base_logprob_vec(
+                models.gene_icm, buff[:head], 1, cycle=True)
+            indep_pb[:head] = icm_mod.per_base_logprob_vec(
+                models.indep_model, buff[:head], 1, cycle=True)
+        return np.cumsum(gene_pb.astype(np.float64)) - np.cumsum(
+            indep_pb.astype(np.float64)
+        )
+
+
+def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer,
+               precompute: G3Precompute | None = None):
     """Score_Orfs (glimmer3.cc:1275): per-ORF start scoring + event creation."""
     m = models
     n = len(seq_idx)
@@ -198,11 +277,15 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
         if mm == 0:
             continue
 
-        gene_pb = icm_mod.per_base_logprob_vec(m.gene_icm, buff, 1, cycle=True)
-        indep_pb = icm_mod.per_base_logprob_vec(m.indep_model, buff, 1, cycle=True)
-        llr = np.cumsum(gene_pb.astype(np.float64)) - np.cumsum(
-            indep_pb.astype(np.float64)
-        )
+        if precompute is not None:
+            a = (n - hi) if frame > 0 else lo
+            llr = precompute.orf_llr(m, buff, a, frame > 0)
+        else:
+            gene_pb = icm_mod.per_base_logprob_vec(m.gene_icm, buff, 1, cycle=True)
+            indep_pb = icm_mod.per_base_logprob_vec(m.indep_model, buff, 1, cycle=True)
+            llr = np.cumsum(gene_pb.astype(np.float64)) - np.cumsum(
+                indep_pb.astype(np.float64)
+            )
 
         # Start-codon candidates: codon at scan index j is
         # (buff[j+2], buff[j+1], buff[j]).
@@ -285,6 +368,8 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
 
 def predict_sequence(models: Models, seq: str, ignore_regions=None):
     """Run the full per-sequence pipeline; returns traced genes."""
+    import os
+
     seq_idx = dna.encode(seq)
     masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
     n = len(seq_idx)
@@ -298,7 +383,12 @@ def predict_sequence(models: Models, seq: str, ignore_regions=None):
     )
     engine = ev_mod.EventEngine(models, n)
     pwm_scorer = PwmScorer(models, seq_idx)
-    score_orfs(models, seq_idx, orf_list, engine, pwm_scorer)
+    pre = None
+    if os.environ.get("GLIMMER_MG_TPU_G3_PRECOMPUTE") != "0":
+        # six whole-genome fixed-frame passes replace thousands of per-ORF
+        # walks; per-ORF work becomes slicing + a partial-window head fix
+        pre = G3Precompute(models, seq_idx)
+    score_orfs(models, seq_idx, orf_list, engine, pwm_scorer, precompute=pre)
     engine.process_events()
     final = engine.set_final_event()
     return ev_mod.trace_back(final, n)

@@ -249,7 +249,18 @@ def device_frame_scores_finish(fut) -> list[np.ndarray] | None:
 def _use_device_precompute(device_precompute) -> bool:
     if device_precompute is not None:
         return bool(device_precompute)
-    return os.environ.get("GLIMMER_MG_TPU_HOST_PRECOMPUTE") != "1"
+    if os.environ.get("GLIMMER_MG_TPU_HOST_PRECOMPUTE") == "1":
+        return False
+    if os.environ.get("GLIMMER_MG_TPU_DEVICE_PRECOMPUTE") == "1":
+        return True
+    # Default: the native engine's own C++ walk wins whenever host<->device
+    # bandwidth is scarce (this rig's tunnel moves ~35 MB/s; the (B, 6, L)
+    # f32 pair costs ~12 KB/read to ship vs ~35 us/read to recompute —
+    # measured in COMPONENTS.md "Device precompute economics"). Without the
+    # native engine the batched device walk beats per-read numpy.
+    from .. import native as native_mod
+
+    return not native_mod.available()
 
 
 def _native_models_for(models):

@@ -24,7 +24,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "engine.cpp")
 _SO = os.path.join(_DIR, "_engine.so")
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -70,6 +70,10 @@ def get_lib():
             ct.c_void_p, ct.c_int64,
             ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p,
             ct.c_void_p, ct.c_int32,
+        ]
+        lib.gmg_fixed_frame_probs.restype = None
+        lib.gmg_fixed_frame_probs.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_int32, ct.c_void_p, ct.c_void_p,
         ]
         lib.gmg_frame_scores.restype = None
         lib.gmg_frame_scores.argtypes = [
@@ -261,6 +265,43 @@ class NativeModels:
         c.allow_truncated_orfs = 1 if models.allow_truncated_orfs else 0
 
         self.c = c
+
+
+def fixed_frame_probs(gene_icm, indep_icm, seq_idx: np.ndarray):
+    """Six fixed-frame per-base log-prob passes via the C++ walk.
+
+    Returns (gene (6, n) f32, ind (6, n) f32): rows 0..2 = frames 0..2 over
+    the reversed sequence, rows 3..5 over the complement — the layout
+    engine.glimmer3.G3Precompute consumes.  Only the two ICMs are marshaled
+    (gmg_fixed_frame_probs reads nothing else from the models struct).
+    """
+    lib = get_lib()
+    keep = []
+
+    def hold(arr, dtype):
+        a = np.ascontiguousarray(arr, dtype=dtype)
+        keep.append(a)
+        return a
+
+    c = CModels()
+    for dst, icm in ((c.gene, gene_icm), (c.indep, indep_icm)):
+        mip = hold(icm.mip, np.int16)
+        probs = hold(icm.probs, np.float32)
+        dst.model_len = icm.model_len
+        dst.depth = icm.model_depth
+        dst.periodicity = icm.periodicity
+        dst.num_nodes = mip.shape[1]
+        dst.mip = _ptr(mip)
+        dst.probs = _ptr(probs)
+
+    seq = np.ascontiguousarray(seq_idx, dtype=np.int8)
+    n = len(seq)
+    out_gene = np.empty((6, n), dtype=np.float32)
+    out_ind = np.empty((6, n), dtype=np.float32)
+    lib.gmg_fixed_frame_probs(
+        ct.byref(c), _ptr(seq), n, _ptr(out_gene), _ptr(out_ind)
+    )
+    return out_gene, out_ind
 
 
 def default_threads() -> int:

@@ -1676,6 +1676,32 @@ void gmg_frame_scores(const NativeModels* models, const int8_t* seq,
   std::memcpy(out, st.frame_scores.data(), sizeof(double) * 6 * len);
 }
 
+// Six fixed-frame per-base log-prob passes over one sequence, gene and null
+// models kept SEPARATE (glimmer3's per-ORF rescoring needs fresh f64 cumsums
+// of each, Score_Orfs glimmer3.cc:1275; the subtracted-LLR layout of
+// gmg_frame_scores would change the f64 rounding).  Rows 0..2: frames 0..2
+// over the REVERSED sequence (unreversed output order); rows 3..5: over the
+// complement.  Feeds engine/glimmer3.G3Precompute.
+void gmg_fixed_frame_probs(const NativeModels* models, const int8_t* seq,
+                           int32_t len, float* out_gene /* [6][len] */,
+                           float* out_ind /* [6][len] */) {
+  const NativeIcm& G = models->gene;
+  const NativeIcm& I = models->indep;
+  std::vector<int8_t> rev(len), comp(len);
+  for (int i = 0; i < len; ++i) {
+    rev[i] = seq[len - 1 - i];
+    comp[i] = 3 - seq[i];
+  }
+  for (int f = 0; f < 3; ++f) {
+    const int gf = f % G.periodicity;
+    const int nf = f % I.periodicity;
+    icm_frame_probs(G, rev.data(), len, gf, out_gene + (size_t)f * len);
+    icm_frame_probs(I, rev.data(), len, nf, out_ind + (size_t)f * len);
+    icm_frame_probs(G, comp.data(), len, gf, out_gene + (size_t)(3 + f) * len);
+    icm_frame_probs(I, comp.data(), len, nf, out_ind + (size_t)(3 + f) * len);
+  }
+}
+
 // Length_Dist_t::Make_Log_Odds truncated-distribution scan (gene.cc:594-610):
 // the descending-l log_add accumulation over break positions.  Exact mirror
 // of the Python loop in io/features_file._length_make_log_odds (which is the
@@ -1732,6 +1758,6 @@ void gmg_log_add_acc(double* acc, const double* x, int64_t n) {
   }
 }
 
-int32_t gmg_abi_version() { return 4; }
+int32_t gmg_abi_version() { return 5; }
 
 }  // extern "C"
