@@ -524,10 +524,19 @@ def cmd_classify(argv):
                    help="multi-host: jax.distributed coordinator address")
     p.add_argument("--num_procs", type=int, help="multi-host: process count")
     p.add_argument("--proc_id", type=int, help="multi-host: this process id")
+    p.add_argument("--platform", default=None, metavar="NAME",
+                   help="force the jax platform (e.g. cpu, tpu); some "
+                        "device plugins ignore the JAX_PLATFORMS env var")
     a = p.parse_args(argv)
-    from .parallel.phymm import classify_file
+
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
 
     mesh = None
+    # distributed init must precede ANY backend-initializing jax call,
+    # including imports that touch jax.devices (jax.distributed contract)
     if a.coordinator or (a.num_procs or 0) > 1 or a.proc_id is not None:
         # all three are required together: jax.distributed.initialize with a
         # partial spec (no coordinator / no process_id) fails obscurely or
@@ -542,6 +551,8 @@ def cmd_classify(argv):
 
         data, model = (int(x) for x in a.mesh.split(","))
         mesh = make_mesh(data=data, model=model)
+    from .parallel.phymm import classify_file
+
     classify_file(a.sequence_file, a.icm_dir, out_dir=a.out_dir, batch=a.batch,
                   mesh=mesh)
 
