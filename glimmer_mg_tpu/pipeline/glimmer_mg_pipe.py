@@ -239,6 +239,7 @@ def run_pipeline(
     timers: StageTimers | None = None,
     profile_dir: str | None = None,
     mesh=None,
+    cluster_device: bool | None = None,
 ):
     """Full pipeline; returns the final .predict path.
 
@@ -258,7 +259,7 @@ def run_pipeline(
             quality_file=quality_file, fudge=fudge, taxonomy=taxonomy,
             minbp_pct=minbp_pct, workdir=workdir, raw_done=raw_done,
             class_done=class_done, clust_done=clust_done, timers=timers,
-            mesh=mesh,
+            mesh=mesh, cluster_device=cluster_device,
         )
     if time_files:
         pre = (out_prefix if out_prefix is not None
@@ -274,6 +275,7 @@ def _run_pipeline_timed(
     workdir=".", raw_done=False, class_done=False, clust_done=False,
     timers: StageTimers,
     mesh=None,
+    cluster_device=None,
 ):
     os.makedirs(workdir, exist_ok=True)
     cwd = os.getcwd()
@@ -344,9 +346,11 @@ def _run_pipeline_timed(
                 results_file, read_ids, taxonomy, minbp_pct=minbp_pct,
                 read_lengths=read_lengths_arr,
             )
+            use_dev = cluster_device
+            if use_dev is None and mesh is not None:
+                use_dev = True
             assign, icms, cscores = scimm.scimm_cluster(
-                seqs, assign, len(names), mesh=mesh,
-                use_device=True if mesh is not None else None)
+                seqs, assign, len(names), mesh=mesh, use_device=use_dev)
             scimm.write_cluster_artifacts(workdir, reads, assign, icms,
                                           cscores)
             st.items, st.bp = len(reads), total_bp
