@@ -39,6 +39,9 @@ import time
 import numpy as np
 
 REFERENCE_MBP_PER_S = 7.43  # C++ Score_String, single core, this machine
+# Reference glimmer3 binary, run1 config (-u -12 -m NC_000915.icm) on the
+# 1.67 Mb H. pylori genome, best of 3 on this machine (2026-08-20).
+REFERENCE_G3_MBP_PER_S = 0.629
 # Reference glimmer-mg binary, classification mode over the 999 sample-run
 # reads vs the bench_db genomeData tree, best of 4 on this machine
 # (2026-08-19; tools/measure_reference.py reproduces it).
@@ -281,6 +284,48 @@ def bench_reads_per_s():
     print(json.dumps(out), flush=True)
 
 
+def bench_glimmer3():
+    """Whole-genome glimmer3 (run1 config) on the 1.67 Mb sample genome.
+
+    The full per-sequence pipeline — ORF scan, per-ORF cumulative ICM
+    scoring + start scan, event DP, traceback — through the native engine
+    (gmg_g3_full), byte-identical to the golden run1 .predict
+    (tests/test_glimmer3.py::test_sample_run_golden).  Baseline: the
+    reference glimmer3 binary compiled from /root/reference, same config,
+    same machine.
+    """
+    from glimmer_mg_tpu.engine import glimmer3 as g3
+    from glimmer_mg_tpu.io.fasta import read_fasta
+    from glimmer_mg_tpu.models import icm as icm_mod
+
+    sample = "/root/reference/sample-run/glimmer3"
+    recs = list(read_fasta(f"{sample}/NC_000915.fna"))
+    m = icm_mod.read_icm(f"{sample}/results/NC_000915.icm")
+
+    def run():
+        return g3.format_predict(list(g3.run_glimmer3(recs, m, logodds_fudge=-12)))
+
+    golden_ok = run() == open(f"{sample}/results/NC_000915.run1.predict").read()
+    _out, times = _timed_runs(run, n=4)
+    best = min(times)
+    bp = sum(len(s) for _h, s in recs)
+    value = bp / 1e6 / best
+    print(json.dumps({
+        "metric": "glimmer3_whole_genome",
+        "value": round(value, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(value / REFERENCE_G3_MBP_PER_S, 2),
+        "detail": {
+            "genome_mbp": round(bp / 1e6, 2),
+            "best_s": round(best, 3),
+            "runs_s": [round(x, 3) for x in times],
+            "byte_identical_run1": golden_ok,
+            "reference_mbp_per_s": REFERENCE_G3_MBP_PER_S,
+            "note": "new row in r3 (native whole-genome path)",
+        },
+    }), flush=True)
+
+
 def main():
     # Persistent compilation cache: remote TPU compiles are minutes; repeat
     # bench invocations should pay them once.
@@ -301,6 +346,7 @@ def main():
     }
     k16["detail"]["bank256"]["value_mbp_models_per_s"] = k256["value"]
     print(json.dumps(k16), flush=True)
+    bench_glimmer3()
     bench_reads_per_s()
 
 

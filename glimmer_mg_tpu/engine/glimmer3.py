@@ -189,6 +189,7 @@ class G3Precompute:
 
     def __init__(self, models: Models, seq_idx: np.ndarray):
         g, ind = models.gene_icm, models.indep_model
+        self._gene_icm, self._indep_icm = g, ind
         native_done = False
         try:
             from .. import native as native_mod
@@ -220,11 +221,21 @@ class G3Precompute:
             self.rev_ind, self.comp_ind = six(ind)
         self.head = models.gene_icm.model_len - 1
 
-    def orf_llr(self, models: Models, buff: np.ndarray, a: int, plus: bool):
+    def batch_heads(self, head_mat: np.ndarray):
+        """Batched partial-window head values for many ORF buffers
+        ((n, head) padded base indices -> two (n, head) f32 arrays)."""
+        return (
+            icm_mod.per_base_logprob_heads(self._gene_icm, head_mat, 1),
+            icm_mod.per_base_logprob_heads(self._indep_icm, head_mat, 1),
+        )
+
+    def orf_llr(self, models: Models, buff: np.ndarray, a: int, plus: bool,
+                head_rows=None):
         """Cumulative gene-minus-null LLR of one ORF buffer starting at
         offset ``a`` of the reversed (plus) or complemented (minus) genome;
         the summation is a fresh per-ORF f64 cumsum exactly like the
-        reference's Cumulative_Score."""
+        reference's Cumulative_Score.  ``head_rows`` supplies the
+        partial-window head values from :meth:`batch_heads`."""
         mm = len(buff)
         sel = (1 + np.arange(mm)) % 3
         pos = a + np.arange(mm)
@@ -236,12 +247,17 @@ class G3Precompute:
             indep_pb = self.comp_ind[sel, pos]
         head = min(self.head, mm)
         if head and a > 0:  # buffer-local partial windows differ from genome
+            if head_rows is not None:
+                gh, ih = head_rows
+            else:
+                gh = icm_mod.per_base_logprob_vec(
+                    models.gene_icm, buff[:head], 1, cycle=True)
+                ih = icm_mod.per_base_logprob_vec(
+                    models.indep_model, buff[:head], 1, cycle=True)
             gene_pb = gene_pb.copy()
             indep_pb = indep_pb.copy()
-            gene_pb[:head] = icm_mod.per_base_logprob_vec(
-                models.gene_icm, buff[:head], 1, cycle=True)
-            indep_pb[:head] = icm_mod.per_base_logprob_vec(
-                models.indep_model, buff[:head], 1, cycle=True)
+            gene_pb[:head] = gh[:head]
+            indep_pb[:head] = ih[:head]
         return np.cumsum(gene_pb.astype(np.float64)) - np.cumsum(
             indep_pb.astype(np.float64)
         )
@@ -254,8 +270,36 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
     n = len(seq_idx)
     masks_of = np.array([1, 2, 4, 8], dtype=np.int32)
 
+    head_rows_of = {}
+    if precompute is not None and orf_list:
+        # batch every ORF's partial-window head fix into one vectorized walk
+        hmax = precompute.head
+        idx = []
+        mat = []
+        for oi, orf in enumerate(orf_list):
+            length = orf.orf_len
+            if length == 0:
+                continue
+            if orf.frame > 0:
+                hi = orf.stop_position - 1
+                hb = seq_idx[hi - length : hi][::-1][:hmax]
+                if n - hi == 0:
+                    continue  # a == 0: genome-edge buffer, no fix needed
+            else:
+                lo = orf.stop_position + 2
+                hb = dna.COMPLEMENT_INDEX[seq_idx[lo : lo + length]][:hmax]
+                if lo == 0:
+                    continue
+            row = np.zeros(hmax, dtype=np.int64)
+            row[: len(hb)] = hb
+            idx.append(oi)
+            mat.append(row)
+        if idx:
+            gh, ih = precompute.batch_heads(np.stack(mat))
+            head_rows_of = {oi: (gh[r], ih[r]) for r, oi in enumerate(idx)}
+
     gene_ct = 0
-    for orf in orf_list:
+    for oi, orf in enumerate(orf_list):
         frame = orf.frame
         length = orf.orf_len
         if frame > 0:
@@ -279,7 +323,8 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
 
         if precompute is not None:
             a = (n - hi) if frame > 0 else lo
-            llr = precompute.orf_llr(m, buff, a, frame > 0)
+            llr = precompute.orf_llr(m, buff, a, frame > 0,
+                                     head_rows=head_rows_of.get(oi))
         else:
             gene_pb = icm_mod.per_base_logprob_vec(m.gene_icm, buff, 1, cycle=True)
             indep_pb = icm_mod.per_base_logprob_vec(m.indep_model, buff, 1, cycle=True)
@@ -366,13 +411,49 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
     return gene_ct
 
 
+class _EventCollector:
+    """Engine stand-in that records (orf, start_list, is_fwd) for the
+    native C++ event DP (gmg_g3_predict)."""
+
+    def __init__(self):
+        self.items = []
+
+    def add_events_fwd(self, orf, start_list, pwm):
+        self.items.append((orf, start_list, True))
+
+    def add_events_rev(self, orf, start_list, pwm):
+        self.items.append((orf, start_list, False))
+
+
+def _use_native_g3(models) -> bool:
+    import os
+
+    if os.environ.get("GLIMMER_MG_TPU_NATIVE") == "0":
+        return False
+    if models.circular:
+        return False  # circular event shifting is host-only
+    from .. import native as native_mod
+
+    return native_mod.available()
+
+
 def predict_sequence(models: Models, seq: str, ignore_regions=None):
     """Run the full per-sequence pipeline; returns traced genes."""
     import os
 
     seq_idx = dna.encode(seq)
-    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
     n = len(seq_idx)
+
+    if ignore_regions is None and _use_native_g3(models):
+        # complete native pipeline: ORF scan + scoring + DP + traceback
+        from .. import native as native_mod
+
+        try:
+            return native_mod.g3_full(models, seq_idx)
+        except native_mod.NativeUnavailable:
+            pass
+
+    masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
 
     orf_list = orf_mod.find_orfs(
         masks,
@@ -381,14 +462,32 @@ def predict_sequence(models: Models, seq: str, ignore_regions=None):
         allow_truncated=models.allow_truncated_orfs,
         ignore_regions=ignore_regions,
     )
-    engine = ev_mod.EventEngine(models, n)
     pwm_scorer = PwmScorer(models, seq_idx)
     pre = None
     if os.environ.get("GLIMMER_MG_TPU_G3_PRECOMPUTE") != "0":
         # six whole-genome fixed-frame passes replace thousands of per-ORF
         # walks; per-ORF work becomes slicing + a partial-window head fix
         pre = G3Precompute(models, seq_idx)
-    score_orfs(models, seq_idx, orf_list, engine, pwm_scorer, precompute=pre)
+    if _use_native_g3(models):
+        # start scoring stays vectorized-host; event DP + traceback run in
+        # the native engine (byte-identical to the Python EventEngine)
+        from .. import native as native_mod
+
+        coll = _EventCollector()
+        score_orfs(models, seq_idx, orf_list, coll, pwm_scorer, precompute=pre)
+        try:
+            return native_mod.g3_predict(models, seq_idx, coll.items)
+        except native_mod.NativeUnavailable:
+            pass  # fall through to the Python DP with collected events
+        engine = ev_mod.EventEngine(models, n)
+        for orf, sl, is_fwd in coll.items:
+            if is_fwd:
+                engine.add_events_fwd(orf, sl, pwm_scorer)
+            else:
+                engine.add_events_rev(orf, sl, pwm_scorer)
+    else:
+        engine = ev_mod.EventEngine(models, n)
+        score_orfs(models, seq_idx, orf_list, engine, pwm_scorer, precompute=pre)
     engine.process_events()
     final = engine.set_final_event()
     return ev_mod.trace_back(final, n)

@@ -288,6 +288,48 @@ def per_base_logprob_vec(
     return icm.probs[fr, node, s]
 
 
+def per_base_logprob_heads(
+    icm: ICM, heads: np.ndarray, frame0: int = 1
+) -> np.ndarray:
+    """Batched per-base log-probs for the FIRST positions of many buffers.
+
+    ``heads`` is (B, H) base indices with H <= model_len-1; each row is
+    treated as the start of a fresh string (partial context windows), with
+    cycling frames from ``frame0`` — exactly per_base_logprob_vec on each
+    row's prefix, but one vectorized walk for all rows (the per-ORF
+    partial-window fix of engine.glimmer3.G3Precompute batches through
+    here).  Returns (B, H) float32, bit-identical per row.
+    """
+    if icm.periodicity == 1:
+        frame0 = 0
+    w = icm.model_len - 1
+    b, h = heads.shape
+    if b == 0 or h == 0:
+        return np.zeros((b, h), dtype=np.float32)
+    s = np.asarray(heads, dtype=np.int64)
+    padded = np.concatenate([np.zeros((b, w), dtype=np.int64), s], axis=1)
+    ctx = np.zeros((b, h), dtype=np.int64)
+    for k in range(w):
+        ctx |= padded[:, k : k + h] << (2 * k)
+
+    j = np.arange(h, dtype=np.int64)[None, :]
+    thresh = np.broadcast_to(np.maximum(0, w - j), (b, h))
+    fr = np.broadcast_to((frame0 + j) % icm.periodicity, (b, h))
+
+    mip = icm.mip.astype(np.int64)
+    node = np.zeros((b, h), dtype=np.int64)
+    done = np.zeros((b, h), dtype=bool)
+    for _ in range(icm.model_depth):
+        pos = mip[fr, node]
+        avail = pos >= thresh
+        bb = (ctx >> (2 * np.maximum(pos, 0))) & 3
+        node = np.where(done | ~avail, node, 4 * node + bb + 1)
+        done |= ~avail
+    pos = mip[fr, node]
+    node = np.where(pos == -2, (node - 1) // 4, node)
+    return icm.probs[fr, node, s]
+
+
 # ---------------------------------------------------------------------------
 # Analytic null models
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "engine.cpp")
 _SO = os.path.join(_DIR, "_engine.so")
-_ABI_VERSION = 5
+_ABI_VERSION = 7
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -70,6 +70,18 @@ def get_lib():
             ct.c_void_p, ct.c_int64,
             ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p,
             ct.c_void_p, ct.c_int32,
+        ]
+        lib.gmg_g3_full.restype = ct.c_int64
+        lib.gmg_g3_full.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_int64, ct.c_void_p, ct.c_int64,
+        ]
+        lib.gmg_g3_predict.restype = ct.c_int64
+        lib.gmg_g3_predict.argtypes = [
+            ct.c_void_p, ct.c_void_p, ct.c_int64,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int32,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_int64,
         ]
         lib.gmg_fixed_frame_probs.restype = None
         lib.gmg_fixed_frame_probs.argtypes = [
@@ -139,6 +151,7 @@ class CModels(ct.Structure):
         ("event_threshold", ct.c_double), ("start_threshold", ct.c_double),
         ("ignore_score_len", ct.c_int64),
         ("allow_truncated_orfs", ct.c_int32),
+        ("use_first_start_codon", ct.c_int32),
     ]
 
 
@@ -263,6 +276,9 @@ class NativeModels:
         c.start_threshold = float(models.start_threshold)
         c.ignore_score_len = int(models.ignore_score_len)
         c.allow_truncated_orfs = 1 if models.allow_truncated_orfs else 0
+        c.use_first_start_codon = (
+            1 if getattr(models, "use_first_start_codon", False) else 0
+        )
 
         self.c = c
 
@@ -302,6 +318,110 @@ def fixed_frame_probs(gene_icm, indep_icm, seq_idx: np.ndarray):
         ct.byref(c), _ptr(seq), n, _ptr(out_gene), _ptr(out_ind)
     )
     return out_gene, out_ind
+
+
+def _unmarshal_genes(genes_out, rc):
+    from ..engine.events import TracedGene
+
+    return [
+        TracedGene(
+            id=genes_out[g].id, start=genes_out[g].start,
+            stop=genes_out[g].stop, frame=genes_out[g].frame,
+            score=genes_out[g].score, errors=(),
+            truncated=bool(genes_out[g].truncated),
+        )
+        for g in range(rc)
+    ]
+
+
+def g3_full(models, seq_idx):
+    """Complete native glimmer3 per-sequence pipeline (ORF scan, scoring,
+    event DP, traceback). Returns list[TracedGene] byte-equal to the
+    Python predict_sequence path for linear sequences."""
+    lib = get_lib()
+    nm = getattr(models, "_native_marshal", None)
+    if nm is None:
+        nm = NativeModels(models)
+        models._native_marshal = nm
+    seq = np.ascontiguousarray(seq_idx, dtype=np.int8)
+    genes_cap = 64 + len(seq) // 30
+    while True:
+        genes_out = (CGeneOut * genes_cap)()
+        rc = lib.gmg_g3_full(
+            ct.byref(nm.c), _ptr(seq), len(seq),
+            ct.cast(genes_out, ct.c_void_p), genes_cap,
+        )
+        if rc >= 0:
+            break
+        genes_cap *= 4
+    return _unmarshal_genes(genes_out, rc)
+
+
+def g3_predict(models, seq_idx, collected):
+    """Native event DP + traceback for one glimmer3 sequence.
+
+    ``collected`` is [(orf, start_list, is_fwd)] in Score_Orfs order, the
+    start lists already scored by engine.glimmer3.score_orfs.  Returns
+    list[TracedGene] identical to the Python EventEngine path.
+    """
+    from ..engine.events import TracedGene
+
+    lib = get_lib()
+    nm = getattr(models, "_native_marshal", None)
+    if nm is None:
+        nm = NativeModels(models)
+        models._native_marshal = nm
+    seq = np.ascontiguousarray(seq_idx, dtype=np.int8)
+
+    n_orfs = len(collected)
+    orf_stop = np.empty(n_orfs, dtype=np.int64)
+    orf_frame = np.empty(n_orfs, dtype=np.int32)
+    orf_olen = np.empty(n_orfs, dtype=np.int64)
+    counts = np.empty(n_orfs, dtype=np.int32)
+    total = sum(len(sl) for _o, sl, _f in collected)
+    st_j = np.empty(total, dtype=np.int64)
+    st_pos = np.empty(total, dtype=np.int64)
+    st_score = np.empty(total, dtype=np.float64)
+    st_first = np.empty(total, dtype=np.uint8)
+    st_which = np.empty(total, dtype=np.int32)
+    st_trunc = np.empty(total, dtype=np.uint8)
+    k = 0
+    for i, (orf, sl, is_fwd) in enumerate(collected):
+        orf_stop[i] = orf.stop_position
+        orf_frame[i] = orf.frame
+        orf_olen[i] = orf.orf_len
+        counts[i] = len(sl)
+        for s in sl:
+            st_j[k] = s.j
+            st_pos[k] = s.pos
+            st_score[k] = s.score
+            st_first[k] = 1 if s.first else 0
+            st_which[k] = s.which
+            st_trunc[k] = 1 if s.truncated else 0
+            k += 1
+
+    genes_cap = 64 + len(seq) // 30
+    while True:
+        genes_out = (CGeneOut * genes_cap)()
+        rc = lib.gmg_g3_predict(
+            ct.byref(nm.c), _ptr(seq), len(seq),
+            _ptr(orf_stop), _ptr(orf_frame), _ptr(orf_olen), n_orfs,
+            _ptr(counts), _ptr(st_j), _ptr(st_pos), _ptr(st_score),
+            _ptr(st_first), _ptr(st_which), _ptr(st_trunc),
+            ct.cast(genes_out, ct.c_void_p), genes_cap,
+        )
+        if rc >= 0:
+            break
+        genes_cap *= 4
+    return [
+        TracedGene(
+            id=genes_out[g].id, start=genes_out[g].start,
+            stop=genes_out[g].stop, frame=genes_out[g].frame,
+            score=genes_out[g].score, errors=(),
+            truncated=bool(genes_out[g].truncated),
+        )
+        for g in range(rc)
+    ]
 
 
 def default_threads() -> int:

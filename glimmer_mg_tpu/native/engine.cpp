@@ -88,6 +88,7 @@ struct NativeModels {
   double event_threshold, start_threshold;
   int64_t ignore_score_len;
   int32_t allow_truncated_orfs;
+  int32_t use_first_start_codon;  // glimmer3 -f (swapped-flag quirk)
 };
 
 struct ReadJob {
@@ -1660,6 +1661,230 @@ int64_t gmg_predict_batch(const ReadJob* jobs, int32_t n_jobs,
   return g;
 }
 
+// ---------------------------------------------------------------------------
+// glimmer3 whole-genome path (engine/glimmer3.py predict_sequence mirror)
+// ---------------------------------------------------------------------------
+
+// Cycling-frame per-base probs of a fresh buffer (Score_String convention:
+// frame advances per base from frame0; partial windows at the buffer head).
+static void icm_cycle_probs(const NativeIcm& M, const int8_t* s, int64_t n,
+                            int frame0, float* out) {
+  const int w = M.model_len - 1;
+  const int P = M.periodicity;
+  const int64_t head = std::min<int64_t>(n, w);
+  for (int64_t i = 0; i < head; ++i)
+    out[i] = icm_base_prob(M, s, (int)i, (int)((frame0 + i) % P));
+  constexpr int B = 16;
+  int64_t i = head;
+  for (; i + B <= n; i += B) {
+    int node[B] = {0};
+    const int16_t* mipu[B];
+    for (int u = 0; u < B; ++u)
+      mipu[u] = M.mip + (size_t)((frame0 + i + u) % P) * M.num_nodes;
+    for (int d = 0; d < M.depth; ++d) {
+      for (int u = 0; u < B; ++u) {
+        const int pos = mipu[u][node[u]];
+        node[u] = pos >= 0 ? 4 * node[u] + s[i + u - w + (pos >= 0 ? pos : 0)] + 1
+                           : node[u];
+      }
+    }
+    for (int u = 0; u < B; ++u) {
+      int nd = node[u];
+      if (mipu[u][nd] == -2) nd = (nd - 1) / 4;
+      const size_t f = (size_t)((frame0 + i + u) % P);
+      out[i + u] = M.probs[(f * M.num_nodes + nd) * 4 + s[i + u]];
+    }
+  }
+  for (; i < n; ++i)
+    out[i] = icm_base_prob(M, s, (int)i, (int)((frame0 + i) % P));
+}
+
+// Score_Orfs (glimmer3.cc:1275 / engine/glimmer3.py score_orfs): per-ORF
+// cumulative LLR + start-candidate scan + event creation.  Bit-faithful to
+// the Python implementation (which is the byte-tested oracle) including its
+// quirks (first_is_truncated evaluated after first_pos is set, zero-extended
+// codons at the buffer tail, the ignore_score_len floor per start).
+static int64_t g3_score_orfs(const NativeModels& M, const int8_t* seq,
+                             int64_t n, const std::vector<Orf>& orfs,
+                             EventEngine& engine, const PwmScorer& pwm) {
+  const bool allow_trunc = M.allow_truncated_orfs != 0;
+  const double NEG_INF = -std::numeric_limits<double>::infinity();
+  std::vector<int8_t> buf;
+  std::vector<float> gene_pb, ind_pb;
+  std::vector<double> llr;
+  std::vector<StartRec> sl;
+  int64_t gene_ct = 0;
+
+  for (const auto& orf : orfs) {
+    const int frame = orf.frame;
+    const int64_t mm = orf.orf_len;
+    if (mm == 0) continue;
+    int64_t lo, hi, k0;
+    bool orf_trunc;
+    buf.resize(mm);
+    if (frame > 0) {
+      hi = orf.stop_position - 1;
+      lo = hi - mm;
+      for (int64_t j = 0; j < mm; ++j) buf[j] = seq[hi - 1 - j];
+      orf_trunc = lo < 3 && allow_trunc;
+      k0 = orf.stop_position - mm - 2;
+    } else {
+      lo = orf.stop_position + 2;
+      hi = lo + mm;
+      for (int64_t j = 0; j < mm; ++j) buf[j] = (int8_t)(3 - seq[lo + j]);
+      orf_trunc = (n - hi) < 3 && allow_trunc;
+      k0 = orf.stop_position + mm + 4;
+    }
+
+    gene_pb.resize(mm);
+    ind_pb.resize(mm);
+    llr.resize(mm);
+    icm_cycle_probs(M.gene, buf.data(), mm, 1 % M.gene.periodicity, gene_pb.data());
+    icm_cycle_probs(M.indep, buf.data(), mm, 1 % M.indep.periodicity, ind_pb.data());
+    double cg = 0.0, ci = 0.0;
+    for (int64_t j = 0; j < mm; ++j) {
+      cg += (double)gene_pb[j];
+      ci += (double)ind_pb[j];
+      llr[j] = cg - ci;
+    }
+
+    const int64_t lowest_j = std::min<int64_t>(3, M.min_gene_len - 3);
+    sl.clear();
+    int64_t first_pos = 0, first_j = 0, best_pos = 0, best_j = 0;
+    double first_score = 0.0, best_score = NEG_INF;
+    bool first_trunc = false, best_trunc = false;
+    for (int64_t j = mm - 1; j >= lowest_j; --j) {
+      if (j % 3 != 0 || j + 3 < M.min_gene_len) continue;
+      int32_t cod = 1 << buf[j];
+      if (j + 1 < mm) cod |= (1 << buf[j + 1]) << 4;
+      if (j + 2 < mm) cod |= (1 << buf[j + 2]) << 8;
+      const bool can = can_be(cod, M.fwd_start, M.n_fwd_start);
+      if (!(can || (first_pos == 0 && orf_trunc))) continue;
+      const int which = which_can_be(cod, M.fwd_start, M.n_fwd_start);
+      const double next_s = llr[j - 1];
+      const int64_t k = frame > 0 ? k0 + (mm - 1 - j) : k0 - (mm - 1 - j);
+      bool first_flag = first_pos == 0;
+      if (which >= 0 && first_pos == 0 && orf_trunc) {
+        sl.push_back({j + 2, k, next_s, first_flag, -1, true, ErrSet()});
+        first_flag = false;
+      }
+      sl.push_back({j + 2, k, next_s, first_flag, which, which < 0, ErrSet()});
+      if (first_pos == 0) {
+        first_score = next_s;
+        first_pos = k;
+        first_j = j + 2;
+        first_trunc = first_pos == 0 && orf_trunc;
+      }
+      if (next_s > best_score) {
+        best_score = next_s;
+        best_pos = k;
+        best_j = j + 2;
+        best_trunc = which < 0;
+      }
+    }
+    if (M.use_first_start_codon) {
+      best_score = first_score;
+      best_pos = first_pos;
+      best_j = first_j;
+      best_trunc = first_trunc;
+    }
+    (void)best_pos;
+    (void)best_j;
+    (void)best_trunc;
+    if (first_j + 1 < M.min_gene_len) continue;
+    for (auto& s : sl)
+      if (s.j > M.ignore_score_len) s.score = std::max(0.0, s.score);
+    const bool tentative =
+        first_j + 1 >= M.min_gene_len && best_score > M.start_threshold;
+    if (tentative) {
+      ++gene_ct;
+      if (frame > 0)
+        engine.add_events_fwd(orf, sl, pwm);
+      else
+        engine.add_events_rev(orf, sl, pwm);
+    }
+  }
+  return gene_ct;
+}
+
+// glimmer3 whole-genome event DP: the host driver scores ORF starts
+// (Score_Orfs, glimmer3.cc:1275 — vectorized numpy there) and hands the
+// per-ORF start lists here; this runs event construction, the event-graph
+// DP with overlap re-linking, and traceback (glimmer_base.cc:43-263,
+// 1533-1899) in C++.  Start records carry no errors (single-genome mode).
+// Returns the gene count, or -1 if genes_cap is exceeded.
+int64_t gmg_g3_predict(const NativeModels* models, const int8_t* seq,
+                       int64_t len, const int64_t* orf_stop,
+                       const int32_t* orf_frame, const int64_t* orf_olen,
+                       int32_t n_orfs, const int32_t* starts_per_orf,
+                       const int64_t* st_j, const int64_t* st_pos,
+                       const double* st_score, const uint8_t* st_first,
+                       const int32_t* st_which, const uint8_t* st_trunc,
+                       GeneOut* genes_out, int64_t genes_cap) {
+  EventEngine engine;
+  engine.init(*models, len);
+  PwmScorer pwm;
+  pwm.init(*models, seq, (int)len);
+  std::vector<StartRec> sl;
+  int64_t k = 0;
+  for (int32_t i = 0; i < n_orfs; ++i) {
+    Orf orf{orf_stop[i], orf_frame[i], 0, orf_olen[i]};
+    sl.clear();
+    for (int32_t s = 0; s < starts_per_orf[i]; ++s, ++k)
+      sl.push_back({st_j[k], st_pos[k], st_score[k], st_first[k] != 0,
+                    st_which[k], st_trunc[k] != 0, ErrSet()});
+    if (orf.frame > 0)
+      engine.add_events_fwd(orf, sl, pwm);
+    else
+      engine.add_events_rev(orf, sl, pwm);
+  }
+  engine.process_events();
+  Event* fe = engine.set_final_event();
+  std::vector<TracedGene> genes;
+  trace_back(fe, len, genes);
+  int64_t g = 0;
+  for (const auto& gene : genes) {
+    if (g >= genes_cap) return -1;
+    genes_out[g] = {0, gene.id,   gene.start,
+                    gene.stop,    gene.frame, gene.score,
+                    gene.truncated ? 1 : 0,  0, 0};
+    ++g;
+  }
+  return g;
+}
+
+// Complete glimmer3 per-sequence pipeline in C++: ORF enumeration, per-ORF
+// cumulative scoring + start scan, event DP, traceback (predict_sequence's
+// native fast path; linear sequences without ignore regions).
+int64_t gmg_g3_full(const NativeModels* models, const int8_t* seq,
+                    int64_t len, GeneOut* genes_out, int64_t genes_cap) {
+  OrfFinder finder;
+  finder.m = models;
+  std::vector<uint8_t> masks(len);
+  for (int64_t i = 0; i < len; ++i) masks[i] = (uint8_t)(1 << seq[i]);
+  std::vector<Orf> orfs;
+  finder.find(masks.data(), (int)len, models->allow_truncated_orfs != 0,
+              false, orfs);
+  EventEngine engine;
+  engine.init(*models, len);
+  PwmScorer pwm;
+  pwm.init(*models, seq, (int)len);
+  g3_score_orfs(*models, seq, len, orfs, engine, pwm);
+  engine.process_events();
+  Event* fe = engine.set_final_event();
+  std::vector<TracedGene> genes;
+  trace_back(fe, len, genes);
+  int64_t g = 0;
+  for (const auto& gene : genes) {
+    if (g >= genes_cap) return -1;
+    genes_out[g] = {0, gene.id,   gene.start,
+                    gene.stop,    gene.frame, gene.score,
+                    gene.truncated ? 1 : 0,  0, 0};
+    ++g;
+  }
+  return g;
+}
+
 // Native 6-frame LLR precompute for one read (debug/parity hook).
 void gmg_frame_scores(const NativeModels* models, const int8_t* seq,
                       int32_t len, double* out /* [6][len] */) {
@@ -1758,6 +1983,6 @@ void gmg_log_add_acc(double* acc, const double* x, int64_t n) {
   }
 }
 
-int32_t gmg_abi_version() { return 5; }
+int32_t gmg_abi_version() { return 7; }
 
 }  // extern "C"
