@@ -34,13 +34,32 @@ lane-wise dynamic gather (``jnp.take_along_axis(table_row, idx, axis=1)``):
 Frames are made uniform per kernel instance by splitting positions into
 the 3 frame phases (total scores are order-free sums).
 
-Compile cost: the final-prob select-loop is fully unrolled (342 rows x 8
-groups ≈ 2.7k gather/compare pairs), which Mosaic takes ~2 min to compile
-per (models, batch) shape on the remote-compile tunnel. This is a
-one-time cost amortized by jax's persistent compilation cache (bench.py
-sets jax_compilation_cache_dir); a rolled lax.fori_loop variant compiles
-fast but serializes the gathers and loses the cross-group latency hiding
-that makes the unrolled kernel ~119-149x the reference core.
+Performance model (measured r3, v5e, honest in-loop protocol — the remote
+relay memoizes repeat calls, so steps run inside one jitted fori_loop with
+rolled inputs, overhead-subtracted):
+
+  * The select-scan costs ~table_bytes/512B gather-ops per (8,128) position
+    group: 342 prob rows + 46 walk rows, ~3 VPU ops each. At the bench
+    shape (512x510x16) that is ~4.9M (8,128)-ops in a 3.19 ms single pass
+    = ~1.75 ops/cycle — ~85% of Mosaic's dual-issue ceiling. Variants that
+    break the select dependency chain (OR-accumulate K=4: 3.32 ms;
+    round-robin selects K=8: 3.49 ms) or roll the loop (fori_loop chunks:
+    35 ms — Mosaic cannot software-pipeline the dynamic VMEM slices) are
+    all SLOWER or equal: the kernel is issue-bound, not latency-bound,
+    once the grid pipelines back-to-back instances.
+  * The only remaining >=2x lever is table BYTES; 16 bits/entry is the
+    precision floor (8-bit quantization puts ~0.06/base of error against
+    per-read scores where the parity bound is lengths/512), leaf
+    densification does not shrink bytes, and real trees are ~96% live so
+    compaction is dead. MXU one-hot row-fetch costs table_size MACs per
+    position (~2x the select-scan even at int8 TOPS) plus an equally
+    expensive one-hot build.
+
+Compile cost: the unrolled scan takes minutes per (models, batch) shape on
+the remote-compile tunnel (cold); the persistent compilation cache
+(bench.py sets jax_compilation_cache_dir) amortizes it. The ``groups``
+knob trades compile for runtime: groups=2 compiles in ~3 s but runs ~25%
+slower (4.26 ms); groups=8 is the production default.
 """
 
 from __future__ import annotations
