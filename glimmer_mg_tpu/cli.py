@@ -97,6 +97,10 @@ def cmd_glimmer3(argv):
     p.add_argument("-l", "--linear", action="store_true",
                    help="linear genome (the reference default; kept for "
                         "command-line parity)")
+    p.add_argument("--detail", default=None, metavar="FILE",
+                   help="write the per-ORF diagnostic score table (the "
+                        "reference's .detail output, glimmer3.cc:1527-1542, "
+                        "which no reference flag ever enables)")
     # accepted for parity; these only affect the reference's detail log,
     # which no flag ever writes (glimmer3.cc:1108,1260; Threshold_Score
     # filter is commented out at glimmer3.cc:1472-1487)
@@ -151,28 +155,34 @@ def cmd_glimmer3(argv):
 
         feature_models = parse_features(a.features, min_gene_len=a.gene_len,
                                         max_olap_bases=a.max_olap)
-    results = list(
-        g3.run_glimmer3(
-            recs,
-            m,
-            gc_frac=None if a.gc_percent is None else a.gc_percent / 100.0,
-            logodds_fudge=a.fudge,
-            min_gene_len=a.gene_len,
-            max_olap_bases=a.max_olap,
-            use_first_start_codon=a.first_codon,
-            allow_truncated_orfs=a.extend,
-            ignore_score_len=a.ignore_score_len,
-            start_codons=a.start_codons.split(",") if a.start_codons else None,
-            stop_codons=a.stop_codons.split(",") if a.stop_codons else None,
-            rbs_pwm=rbs,
-            feature_models=feature_models,
-            ignore_regions=(
-                __import__("glimmer_mg_tpu.engine.orfs", fromlist=["x"])
-                .parse_ignore_regions(open(a.ignore).read())
-                if a.ignore else None
-            ),
+    import contextlib
+
+    detail_cm = (open(a.detail, "w") if a.detail
+                 else contextlib.nullcontext(None))
+    with detail_cm as detail_fp:
+        results = list(
+            g3.run_glimmer3(
+                recs,
+                m,
+                detail_fp=detail_fp,
+                gc_frac=None if a.gc_percent is None else a.gc_percent / 100.0,
+                logodds_fudge=a.fudge,
+                min_gene_len=a.gene_len,
+                max_olap_bases=a.max_olap,
+                use_first_start_codon=a.first_codon,
+                allow_truncated_orfs=a.extend,
+                ignore_score_len=a.ignore_score_len,
+                start_codons=a.start_codons.split(",") if a.start_codons else None,
+                stop_codons=a.stop_codons.split(",") if a.stop_codons else None,
+                rbs_pwm=rbs,
+                feature_models=feature_models,
+                ignore_regions=(
+                    __import__("glimmer_mg_tpu.engine.orfs", fromlist=["x"])
+                    .parse_ignore_regions(open(a.ignore).read())
+                    if a.ignore else None
+                ),
+            )
         )
-    )
     with open(a.tag + ".predict", "w") as fh:
         fh.write(g3.format_predict(results))
 

@@ -263,9 +263,115 @@ class G3Precompute:
         )
 
 
+MAX_LOG_DIFF = -46.0  # icm.hh:58
+HI_SCORE = 100  # glimmer_base.hh:33
+
+
+def _permute_by_frame(v: list, frame: int) -> None:
+    """Permute_By_Frame (glimmer3.cc:1014): reorder 6 frame entries so they
+    are relative to a reverse gene string starting at genome frame."""
+    if frame == 1:
+        v[0], v[1], v[2] = v[2], v[0], v[1]
+        v[3], v[4], v[5] = v[5], v[3], v[4]
+    elif frame == 2:
+        v[0], v[1], v[2] = v[1], v[2], v[0]
+        v[3], v[4], v[5] = v[4], v[5], v[3]
+    elif frame == -1:
+        v[0], v[3] = v[3], v[0]
+        v[1], v[5] = v[5], v[1]
+        v[2], v[4] = v[4], v[2]
+    elif frame == -2:
+        v[0], v[4] = v[4], v[0]
+        v[1], v[3] = v[3], v[1]
+        v[2], v[5] = v[5], v[2]
+    elif frame == -3:
+        v[0], v[5] = v[5], v[0]
+        v[1], v[4] = v[4], v[1]
+        v[2], v[3] = v[3], v[2]
+
+
+def _find_stops_reverse(buff: np.ndarray, length: int, patterns) -> list:
+    """Find_Stops_Reverse (glimmer3.cc:476): per-frame in-frame stop flags
+    over the first ``length`` chars of the reversed gene string."""
+    has_stop = [False] * 7
+    masks_of = np.array([1, 2, 4, 8], dtype=np.int32)
+    codon = 0
+    frame_ss = 1
+    for i in range(length - 1, -1, -1):
+        codon = ((codon << 4) | int(masks_of[buff[i]])) & 0xFFF
+        if dna.must_be(np.array([codon]), patterns.fwd_stop)[0]:
+            has_stop[frame_ss] = True
+        if dna.must_be(np.array([codon]), patterns.rev_stop)[0]:
+            has_stop[frame_ss + 3] = True
+        frame_ss = 0 if frame_ss == 2 else frame_ss + 1
+    return has_stop
+
+
+def _integerize_scores(ds: list, hi_score: int, set_negative: list) -> list:
+    """Integerize_Scores (glimmer3.cc:597): scores -> 0..hi_score ints."""
+    import math
+
+    vals = [d for d, neg in zip(ds, set_negative) if not neg]
+    mx = max(vals) if vals else 0.0
+    mn = min(vals) if vals else 0.0
+    if mn < mx + MAX_LOG_DIFF:
+        mn = mx + MAX_LOG_DIFF
+    v = []
+    total = 0.0
+    for d, neg in zip(ds, set_negative):
+        if neg:
+            v.append(-1.0)
+        elif d < mn:
+            v.append(0.0)
+        else:
+            e = math.exp(d - mn)
+            v.append(e)
+            total += e
+    out = []
+    for x, neg in zip(v, set_negative):
+        if neg:
+            out.append(-1)
+        else:
+            s = int(hi_score * (x / total))
+            out.append(min(s, hi_score - 1))
+    return out
+
+
+def _all_frame_score(models: Models, buff: np.ndarray, length: int, fr: int):
+    """All_Frame_Score (glimmer3.cc:328): 6-frame Score_String diagnostic of
+    the first ``length`` chars of the reversed gene string."""
+    from ..models.icm import score_string
+
+    g = models.gene_icm
+    s = buff[:length]
+    rc = dna.COMPLEMENT_INDEX[s][::-1]
+    af = [
+        score_string(g, s, 1), score_string(g, s, 2), score_string(g, s, 0),
+        score_string(g, rc, 1), score_string(g, rc, 0), score_string(g, rc, 2),
+    ]
+    _permute_by_frame(af, fr)
+    return af
+
+
+def print_headings(fp) -> None:
+    """Print_Headings (glimmer_base.cc:1369), independent-score layout."""
+    fp.write("\n")
+    fp.write("%4s %5s %17s %8s  %15s" % ("", "", "----- Start -----", "",
+                                         "--- Length ----"))
+    fp.write("  %s\n" % "------------- Scores -------------")
+    fp.write("%4s %5s %8s %8s %8s  %7s %7s  %7s %5s %s" %
+             (" ID ", "Frame", "of Orf", "of Gene", "Stop", "of Orf",
+              "of Gene", "Raw", "InFrm", "F1 F2 F3 R1 R2 R3"))
+    fp.write(" NC\n")
+
+
 def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer,
-               precompute: G3Precompute | None = None):
-    """Score_Orfs (glimmer3.cc:1275): per-ORF start scoring + event creation."""
+               precompute: G3Precompute | None = None, detail_fp=None):
+    """Score_Orfs (glimmer3.cc:1275): per-ORF start scoring + event creation.
+
+    ``detail_fp`` enables the reference's per-ORF diagnostic table
+    (glimmer3.cc:1527-1542 — compile-time-disabled there; our --detail flag
+    closes that documented gap)."""
     m = models
     n = len(seq_idx)
     masks_of = np.array([1, 2, 4, 8], dtype=np.int32)
@@ -400,9 +506,47 @@ def score_orfs(models: Models, seq_idx: np.ndarray, orf_list, engine, pwm_scorer
                 s.score = max(0.0, s.score)
 
         is_tentative = first_j + 1 >= m.min_gene_len and best_score > m.start_threshold
-
         if is_tentative:
             gene_ct += 1
+
+        if detail_fp is not None:
+            # per-ORF diagnostic row (glimmer3.cc:1434-1542)
+            fr = 1 + (1 + frame) % 3 if frame > 0 else frame
+            if frame > 0:
+                det_k, orf_start = hi + 3, lo + 1
+            else:
+                det_k, orf_start = lo - 2, hi
+            det_best_pos = best_pos
+            indep_cum = np.cumsum(
+                icm_mod.per_base_logprob_vec(
+                    m.indep_model, buff, 1, cycle=True).astype(np.float64))
+            af = _all_frame_score(m, buff, best_j - 2, fr)
+            af.append(float(indep_cum[best_j - 3]))
+            has_stop = _find_stops_reverse(buff, best_j - 2, m.patterns)
+            _permute_by_frame(has_stop, fr)
+            int_score = _integerize_scores(af, HI_SCORE, has_stop)
+            frame_score = (int_score[frame - 1] if frame > 0
+                           else int_score[2 - frame])
+            gene_score = 100.0 * best_score / (best_j - 2)
+            if orf_is_truncated:
+                if frame > 0:
+                    orf_start -= 3
+                    if best_is_truncated:
+                        det_best_pos -= 3
+                else:
+                    orf_start += 3
+                    if best_is_truncated:
+                        det_best_pos += 3
+            tag = "%04d" % gene_ct if is_tentative else "    "
+            row = "%4s %+5d %8d %8d %8d  %7d %7d  %7.2f %5d" % (
+                tag, frame, orf_start, det_best_pos, det_k, length,
+                best_j + 1, gene_score, frame_score)
+            for j6 in range(6):
+                row += "  -" if int_score[j6] < 0 else " %2d" % int_score[j6]
+            row += " %2d" % int_score[6]
+            detail_fp.write(row + "\n")
+
+        if is_tentative:
             if frame > 0:
                 engine.add_events_fwd(orf, start_list, pwm_scorer)
             else:
@@ -437,14 +581,18 @@ def _use_native_g3(models) -> bool:
     return native_mod.available()
 
 
-def predict_sequence(models: Models, seq: str, ignore_regions=None):
+def predict_sequence(models: Models, seq: str, ignore_regions=None,
+                     detail_fp=None):
     """Run the full per-sequence pipeline; returns traced genes."""
     import os
 
     seq_idx = dna.encode(seq)
     n = len(seq_idx)
 
-    if ignore_regions is None and _use_native_g3(models):
+    if detail_fp is not None:
+        print_headings(detail_fp)
+
+    if detail_fp is None and ignore_regions is None and _use_native_g3(models):
         # complete native pipeline: ORF scan + scoring + DP + traceback
         from .. import native as native_mod
 
@@ -474,7 +622,8 @@ def predict_sequence(models: Models, seq: str, ignore_regions=None):
         from .. import native as native_mod
 
         coll = _EventCollector()
-        score_orfs(models, seq_idx, orf_list, coll, pwm_scorer, precompute=pre)
+        score_orfs(models, seq_idx, orf_list, coll, pwm_scorer,
+                   precompute=pre, detail_fp=detail_fp)
         try:
             return native_mod.g3_predict(models, seq_idx, coll.items)
         except native_mod.NativeUnavailable:
@@ -487,7 +636,8 @@ def predict_sequence(models: Models, seq: str, ignore_regions=None):
                 engine.add_events_rev(orf, sl, pwm_scorer)
     else:
         engine = ev_mod.EventEngine(models, n)
-        score_orfs(models, seq_idx, orf_list, engine, pwm_scorer, precompute=pre)
+        score_orfs(models, seq_idx, orf_list, engine, pwm_scorer,
+                   precompute=pre, detail_fp=detail_fp)
     engine.process_events()
     final = engine.set_final_event()
     return ev_mod.trace_back(final, n)
@@ -509,6 +659,7 @@ def run_glimmer3(
     ignore_regions: list | None = None,
     ignore_score_len: int | None = None,
     allow_truncated_orfs: bool = False,
+    detail_fp=None,
 ):
     """glimmer3 main-mode equivalent. Yields (header, [TracedGene])."""
     patterns = orf_mod.CodonPatterns.make(start_codons, stop_codons)
@@ -545,7 +696,8 @@ def run_glimmer3(
             setattr(models, key, val)
 
     for header, seq in sequences:
-        yield header, predict_sequence(models, seq, ignore_regions)
+        yield header, predict_sequence(models, seq, ignore_regions,
+                                       detail_fp=detail_fp)
 
 
 def score_orflist(models: Models, seq_idx: np.ndarray, orflist_text: str) -> str:

@@ -192,3 +192,33 @@ def test_trans_table_extend_qlen(tmp_path, oracle_bin):
                                  icm, **kwargs))
         )
         assert got == want, extra
+
+
+def test_detail_output(tmp_path):
+    """--detail writes the reference's per-ORF diagnostic table
+    (glimmer3.cc:1527-1542; compile-time-disabled there) without changing
+    predictions."""
+    import io
+
+    genome_path = SAMPLE / "NC_000915.fna"
+    if not genome_path.exists():
+        pytest.skip("sample genome unavailable")
+    _, genome = next(iter(read_fasta(genome_path)))
+    icm_path = SAMPLE / "results/NC_000915.icm"
+    m = icm_mod.read_icm(icm_path)
+    recs = [("s0", genome[:60000])]
+    buf = io.StringIO()
+    with_detail = g3.format_predict(
+        list(g3.run_glimmer3(recs, m, logodds_fudge=-12, detail_fp=buf)))
+    plain = g3.format_predict(
+        list(g3.run_glimmer3(recs, m, logodds_fudge=-12)))
+    assert with_detail == plain
+    lines = buf.getvalue().splitlines()
+    assert any("F1 F2 F3 R1 R2 R3" in l for l in lines[:3])
+    rows = [l for l in lines if l[:4].strip().isdigit() or l.startswith("    ")]
+    rows = [l for l in rows if len(l.split()) >= 15]
+    assert len(rows) > 10
+    # every predicted gene id appears as a tagged detail row
+    pred_ids = [l.split()[0] for l in plain.splitlines() if not l.startswith(">")]
+    tagged = {l.split()[0] for l in rows if l[:4].strip().isdigit()}
+    assert len(tagged) >= len(pred_ids) - 1
