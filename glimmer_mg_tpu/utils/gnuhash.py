@@ -56,6 +56,7 @@ class GnuHashMap:
         self._nbuck = _next_size(100)  # default-constructed hash_map
         self._buckets: list[list[str]] = [[] for _ in range(self._nbuck)]
         self._values: dict[str, object] = {}
+        self._hash: dict[str, int] = {}  # memoized: rehashes reuse it
 
     def __contains__(self, key: str) -> bool:
         return key in self._values
@@ -71,8 +72,11 @@ class GnuHashMap:
         if key in self._values:
             return self._values[key]
         self._resize(len(self._values) + 1)
-        b = stl_hash_string(key) % self._nbuck
-        self._buckets[b].insert(0, key)
+        h = self._hash.get(key)
+        if h is None:
+            h = stl_hash_string(key)
+            self._hash[key] = h
+        self._buckets[h % self._nbuck].insert(0, key)
         self._values[key] = value
         return value
 
@@ -83,9 +87,10 @@ class GnuHashMap:
         if new_n <= self._nbuck:
             return
         new_buckets: list[list[str]] = [[] for _ in range(new_n)]
+        hashes = self._hash
         for chain in self._buckets:  # old buckets ascending
             for key in chain:  # head first, head-inserted into new chain
-                new_buckets[stl_hash_string(key) % new_n].insert(0, key)
+                new_buckets[hashes[key] % new_n].insert(0, key)
         self._buckets = new_buckets
         self._nbuck = new_n
 
