@@ -193,12 +193,18 @@ class NativeModels:
         c = CModels()
 
         def fill_icm(dst, icm):
-            mip = hold(icm.mip, np.int16)
+            # one int16 of tail padding: the engine's AVX-512 walk gathers
+            # 32-bit words at 16-bit entries, so the last entry's load reads
+            # 2 bytes past the table
+            mip2 = np.ascontiguousarray(icm.mip, dtype=np.int16)
+            mip = hold(np.concatenate([mip2.reshape(-1),
+                                       np.array([-1], dtype=np.int16)]),
+                       np.int16)
             probs = hold(icm.probs, np.float32)
             dst.model_len = icm.model_len
             dst.depth = icm.model_depth
             dst.periodicity = icm.periodicity
-            dst.num_nodes = mip.shape[1]
+            dst.num_nodes = mip2.shape[1]
             dst.mip = _ptr(mip)
             dst.probs = _ptr(probs)
 
@@ -301,12 +307,16 @@ def fixed_frame_probs(gene_icm, indep_icm, seq_idx: np.ndarray):
 
     c = CModels()
     for dst, icm in ((c.gene, gene_icm), (c.indep, indep_icm)):
-        mip = hold(icm.mip, np.int16)
+        # tail padding as in NativeModels.fill_icm (AVX-512 gather overread)
+        mip2 = np.ascontiguousarray(icm.mip, dtype=np.int16)
+        mip = hold(np.concatenate([mip2.reshape(-1),
+                                   np.array([-1], dtype=np.int16)]),
+                   np.int16)
         probs = hold(icm.probs, np.float32)
         dst.model_len = icm.model_len
         dst.depth = icm.model_depth
         dst.periodicity = icm.periodicity
-        dst.num_nodes = mip.shape[1]
+        dst.num_nodes = mip2.shape[1]
         dst.mip = _ptr(mip)
         dst.probs = _ptr(probs)
 
