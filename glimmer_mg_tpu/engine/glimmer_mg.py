@@ -307,6 +307,39 @@ def _use_native() -> bool:
     return os.environ.get("GLIMMER_MG_TPU_NATIVE") != "0"
 
 
+def _overlap_engine() -> bool:
+    """Pipeline the native engine call behind the main thread (chunk k runs
+    in the engine while the main thread parameterizes chunk k+1).
+
+    Only a win when a core is free to absorb the extra thread: measured on
+    this 2-core rig, oversubscribing engine threads + the prep thread costs
+    ~20% (17.0k -> 13.5k reads/s), while on >=4-core hosts the serial prep
+    phase otherwise leaves the engine idle.  GLIMMER_MG_TPU_OVERLAP=0/1
+    overrides."""
+    env = os.environ.get("GLIMMER_MG_TPU_OVERLAP")
+    if env is not None:
+        return env != "0"
+    return (os.cpu_count() or 1) >= 4
+
+
+_ENGINE_POOL = None
+
+
+def _engine_pool():
+    """Single-worker pool running engine chunks behind the main thread.
+
+    One worker keeps chunk ordering FIFO and serializes the lazy marshaling
+    caches; daemon threads so an abandoned generator can't hang exit."""
+    global _ENGINE_POOL
+    if _ENGINE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ENGINE_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="gmg-engine"
+        )
+    return _ENGINE_POOL
+
+
 class MgSequenceState:
     """Per-read precomputed state: 6-frame LLRs + stop indexes."""
 
@@ -863,30 +896,45 @@ def run_glimmer_mg_classes(
     use_device = _use_device_precompute(device_precompute)
     chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
     pending: list = []  # (header, seq_idx or None, models, quals, have_qual)
-    inflight: list = []  # at most one (chunk, device-future) being precomputed
+    inflight: list = []  # at most one (chunk, engine-future) in flight
+
+    def _run_chunk(chunk, fut):
+        """Worker-side half of a chunk: finish the device precompute (if
+        any) and run the native engine.  Runs on the single engine worker
+        thread; the C call releases the GIL, so the main thread keeps
+        building chunk k+1's models while chunk k is predicted."""
+        fs_list = device_frame_scores_finish(fut) if fut is not None else None
+        native_results = None
+        if _use_native() and any(m is not None for _h, _s, m, _q, _hq in chunk):
+            native_results = _native_predict(
+                [(s, m, q, hq) for _h, s, m, q, hq in chunk if m is not None],
+                fs_list, allow_indels, allow_subs,
+            )
+        return fs_list, native_results
 
     def _dispatch():
-        """Enqueue the current chunk's device precompute (async) and park it;
-        JAX dispatch returns immediately, so the chip walks chunk k+1 while
-        the host engine runs the event DP of chunk k."""
+        """Enqueue the current chunk's device precompute (async) and hand
+        the chunk to the engine worker; both the chip walk and the C++
+        engine of chunk k then overlap with the host prep of chunk k+1."""
         chunk = list(pending)
         pending.clear()
         jobs = [(m, s) for _h, s, m, _q, _hq in chunk if m is not None]
         fut = (
             device_frame_scores_dispatch(jobs) if (use_device and jobs) else None
         )
-        inflight.append((chunk, fut))
+        if _overlap_engine():
+            inflight.append(
+                (chunk, _engine_pool().submit(_run_chunk, chunk, fut))
+            )
+        else:
+            inflight.append((chunk, fut))
 
     def _consume():
-        chunk, fut = inflight.pop(0)
-        jobs_present = any(m is not None for _h, _s, m, _q, _hq in chunk)
-        fs_list = device_frame_scores_finish(fut) if fut is not None else None
-        native_results = None
-        if _use_native() and jobs_present:
-            native_results = _native_predict(
-                [(s, m, q, hq) for _h, s, m, q, hq in chunk if m is not None],
-                fs_list, allow_indels, allow_subs,
-            )
+        chunk, efut = inflight.pop(0)
+        if _overlap_engine():
+            fs_list, native_results = efut.result()
+        else:
+            fs_list, native_results = _run_chunk(chunk, efut)
         ji = 0
         for header, seq_idx, models, quals, have_qual in chunk:
             if models is None:

@@ -163,6 +163,44 @@ class CReadJob(ct.Structure):
     ]
 
 
+# numpy view of a CReadJob array (matches the ctypes struct layout)
+_JOB_DT = np.dtype(
+    {
+        "names": ["seq", "len", "quals", "have_qual", "frame_scores",
+                  "models"],
+        "formats": [np.uint64, np.int32, np.uint64, np.int32, np.uint64,
+                    np.uint64],
+        "offsets": [0, 8, 16, 24, 32, 40],
+        "itemsize": 48,
+    }
+)
+
+
+_CT2NP = {ct.c_int32: np.int32, ct.c_int64: np.int64, ct.c_double: np.float64}
+
+
+def _struct_dtype(cls) -> np.dtype:
+    """numpy dtype matching a ctypes Structure's exact layout."""
+    names = [n for n, _ in cls._fields_]
+    return np.dtype(
+        {
+            "names": names,
+            "formats": [_CT2NP[t] for _, t in cls._fields_],
+            "offsets": [getattr(cls, n).offset for n in names],
+            "itemsize": ct.sizeof(cls),
+        }
+    )
+
+
+def _models_addr(nm) -> int:
+    """Cached address of a NativeModels' C struct."""
+    a = getattr(nm, "_addr", None)
+    if a is None:
+        a = ct.addressof(nm.c)
+        nm._addr = a
+    return a
+
+
 class CGeneOut(ct.Structure):
     _fields_ = [
         ("read_idx", ct.c_int32), ("id", ct.c_int32),
@@ -461,29 +499,46 @@ def predict_batch(jobs, *, allow_indels=False, allow_subs=False,
 
     keep = []
     cjobs = (CReadJob * n)()
-    total_len = 0
-    for r, (seq_idx, quals, have_qual, fs, nm) in enumerate(jobs):
-        seq = np.ascontiguousarray(seq_idx, dtype=np.int8)
-        keep.append(seq)
-        cjobs[r].seq = _ptr(seq)
-        cjobs[r].len = len(seq)
-        total_len += len(seq)
-        if quals is not None:
-            q = np.ascontiguousarray(quals, dtype=np.int32)
-            keep.append(q)
-            cjobs[r].quals = _ptr(q)
-        else:
-            cjobs[r].quals = None
-        cjobs[r].have_qual = 1 if have_qual else 0
-        if fs is not None:
-            f = np.ascontiguousarray(fs, dtype=np.float64)
-            if f.shape != (6, len(seq)):
-                raise ValueError("frame_scores shape mismatch")
-            keep.append(f)
-            cjobs[r].frame_scores = _ptr(f)
-        else:
-            cjobs[r].frame_scores = None
-        cjobs[r].models = ct.cast(ct.byref(nm.c), ct.c_void_p)
+    fast = all(
+        j[1] is None and j[3] is None
+        and isinstance(j[0], np.ndarray) and j[0].dtype == np.int8
+        and j[0].flags.c_contiguous
+        for j in jobs
+    )
+    if fast:
+        # vectorized struct fill: per-read ctypes attribute assignment costs
+        # ~10 us/read in Python; a numpy view of the job array doesn't
+        view = np.frombuffer(cjobs, dtype=_JOB_DT)
+        keep = [j[0] for j in jobs]
+        view["seq"] = [s.__array_interface__["data"][0] for s in keep]
+        lens = np.array([s.shape[0] for s in keep], dtype=np.int64)
+        view["len"] = lens
+        view["models"] = [_models_addr(j[4]) for j in jobs]
+        total_len = int(lens.sum())
+    else:
+        total_len = 0
+        for r, (seq_idx, quals, have_qual, fs, nm) in enumerate(jobs):
+            seq = np.ascontiguousarray(seq_idx, dtype=np.int8)
+            keep.append(seq)
+            cjobs[r].seq = _ptr(seq)
+            cjobs[r].len = len(seq)
+            total_len += len(seq)
+            if quals is not None:
+                q = np.ascontiguousarray(quals, dtype=np.int32)
+                keep.append(q)
+                cjobs[r].quals = _ptr(q)
+            else:
+                cjobs[r].quals = None
+            cjobs[r].have_qual = 1 if have_qual else 0
+            if fs is not None:
+                f = np.ascontiguousarray(fs, dtype=np.float64)
+                if f.shape != (6, len(seq)):
+                    raise ValueError("frame_scores shape mismatch")
+                keep.append(f)
+                cjobs[r].frame_scores = _ptr(f)
+            else:
+                cjobs[r].frame_scores = None
+            cjobs[r].models = ct.cast(ct.byref(nm.c), ct.c_void_p)
 
     genes_cap = 64 + total_len // 30
     while True:
@@ -505,16 +560,23 @@ def predict_batch(jobs, *, allow_indels=False, allow_subs=False,
         genes_cap *= 4
 
     results = [[] for _ in range(n)]
-    for g in range(rc):
-        go = genes_out[g]
-        errors = tuple(
-            Error(int(err_pos[go.err_offset + k]), int(err_type[go.err_offset + k]))
-            for k in range(go.n_errors)
-        )
-        results[go.read_idx].append(
-            TracedGene(
-                id=go.id, start=go.start, stop=go.stop, frame=go.frame,
-                score=go.score, errors=errors, truncated=bool(go.truncated),
+    if rc:
+        # column-wise unpack (per-gene ctypes attribute reads are ~10x
+        # slower than one structured-array view + tolist)
+        gv = np.frombuffer(genes_out, dtype=_struct_dtype(CGeneOut), count=rc)
+        for ri, gid, st0, sp, fr, sc, tr, ne, eo in zip(
+            gv["read_idx"].tolist(), gv["id"].tolist(), gv["start"].tolist(),
+            gv["stop"].tolist(), gv["frame"].tolist(), gv["score"].tolist(),
+            gv["truncated"].tolist(), gv["n_errors"].tolist(),
+            gv["err_offset"].tolist(),
+        ):
+            errors = (
+                tuple(Error(int(err_pos[eo + k]), int(err_type[eo + k]))
+                      for k in range(ne))
+                if ne else ()
             )
-        )
+            results[ri].append(
+                TracedGene(id=gid, start=st0, stop=sp, frame=fr, score=sc,
+                           errors=errors, truncated=bool(tr))
+            )
     return results

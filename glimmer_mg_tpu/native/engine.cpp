@@ -21,6 +21,7 @@
 // check), same anchors as the Python oracle's docstrings.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -37,8 +38,8 @@ namespace {
 // Per-phase wall-time profiling (gmg_set_profiling(1) to enable; totals are
 // summed across threads with relaxed atomics — good enough for attribution).
 static std::atomic<int> g_profiling{0};
-enum Phase { PH_PREP = 0, PH_ORFS, PH_WALK, PH_STOPS, PH_SCORE, PH_DP,
-             PH_TRACE, PH_COUNT };
+enum Phase { PH_PREP = 0, PH_ORFS, PH_WALK, PH_STOPS, PH_SCINIT, PH_SCORE,
+             PH_DP, PH_TRACE, PH_COUNT };
 static std::atomic<int64_t> g_phase_ns[PH_COUNT];
 struct PhaseTimer {
   int ph;
@@ -218,13 +219,78 @@ __attribute__((target("avx512f,avx512bw"))) static void icm_probs_avx512(
     fv = _mm512_set1_epi32(frame0);
   }
 
+  // Levels 0..2 of the walk touch at most 1/4/16 nodes per frame, so their
+  // mut_info_pos slices fit in vector registers: resolve them with
+  // in-register permutes instead of memory gathers (the gathers are the
+  // walk's cost).  Cycling mode packs all P frames into one LUT (P <= 3).
+  const bool small_luts = !cycle || P <= 3;
+  const int n_lut_levels = small_luts ? std::min(M.depth, 3) : 0;
+  __m512i lut0 = vzero, lut1 = vzero, lut2a = vzero, lut2b = vzero,
+          lut2c = vzero, vpos0 = vzero;
+  if (small_luts) {
+    const int16_t* mp = M.mip;
+    const int64_t N = M.num_nodes;
+    const int PF = cycle ? P : 1;
+    alignas(64) int32_t t[48] = {0};
+    if (cycle) {
+      for (int f = 0; f < PF; ++f) t[f] = mp[(size_t)f * N];
+      lut0 = _mm512_load_si512(t);
+    } else {
+      vpos0 = _mm512_set1_epi32((int32_t)mp[(size_t)frame0 * N]);
+    }
+    if (M.depth >= 2) {
+      for (int f = 0; f < PF; ++f)
+        for (int k = 0; k < 4; ++k)
+          t[f * 4 + k] = mp[(size_t)(cycle ? f : frame0) * N + 1 + k];
+      lut1 = _mm512_load_si512(t);
+    }
+    if (M.depth >= 3) {
+      for (int f = 0; f < PF; ++f)
+        for (int k = 0; k < 16; ++k)
+          t[f * 16 + k] = mp[(size_t)(cycle ? f : frame0) * N + 5 + k];
+      lut2a = _mm512_load_si512(t);
+      if (cycle) {
+        lut2b = _mm512_load_si512(t + 16);
+        lut2c = _mm512_load_si512(t + 32);
+      }
+    }
+  }
+
   int64_t i = head;
   for (; i + 16 <= n; i += 16) {
     const __m512i ctx_v = _mm512_loadu_si512((const void*)(ctx + i));
     const __m512i fbase = _mm512_mullo_epi32(fv, vnodes);
     __m512i node = vzero;
     __mmask16 active = 0xFFFF;
-    for (int d = 0; d < M.depth && active; ++d) {
+    for (int d = 0; d < n_lut_levels && active; ++d) {
+      __m512i pos;
+      if (d == 0) {
+        pos = cycle ? _mm512_permutexvar_epi32(fv, lut0) : vpos0;
+      } else if (d == 1) {
+        __m512i idx = _mm512_sub_epi32(node, vone);
+        if (cycle) idx = _mm512_add_epi32(idx, _mm512_slli_epi32(fv, 2));
+        pos = _mm512_permutexvar_epi32(idx, lut1);
+      } else {
+        __m512i idx = _mm512_sub_epi32(node, _mm512_set1_epi32(5));
+        if (cycle) {
+          idx = _mm512_add_epi32(idx, _mm512_slli_epi32(fv, 4));
+          const __m512i lo = _mm512_permutex2var_epi32(lut2a, idx, lut2b);
+          const __m512i hi = _mm512_permutexvar_epi32(idx, lut2c);
+          pos = _mm512_mask_mov_epi32(
+              lo, _mm512_cmpge_epi32_mask(idx, _mm512_set1_epi32(32)), hi);
+        } else {
+          pos = _mm512_permutexvar_epi32(idx, lut2a);
+        }
+      }
+      const __mmask16 still = _mm512_mask_cmpge_epi32_mask(active, pos, vzero);
+      const __m512i sh = _mm512_add_epi32(_mm512_slli_epi32(pos, 1), voff);
+      const __m512i b = _mm512_and_si512(_mm512_srlv_epi32(ctx_v, sh), vthree);
+      const __m512i child =
+          _mm512_add_epi32(_mm512_add_epi32(_mm512_slli_epi32(node, 2), b), vone);
+      node = _mm512_mask_mov_epi32(node, still, child);
+      active = still;
+    }
+    for (int d = n_lut_levels; d < M.depth && active; ++d) {
       const __m512i entry = _mm512_add_epi32(fbase, node);
       const __m512i raw =
           _mm512_mask_i32gather_epi32(vzero, active, entry, (const int*)M.mip, 2);
@@ -266,11 +332,66 @@ __attribute__((target("avx512f,avx512bw"))) static void icm_probs_avx512(
     out[i] = icm_base_prob(M, s, (int)i, cycle ? (int)((frame0 + i) % P)
                                                : frame0);
 }
+// One elementwise pass of a 4-entry f64 LUT over a base string:
+// acc[i] (*= or +=) lut[comp ? 3 - s[i] : s[i]].  Vectorized 8 doubles at a
+// time with an in-register permute; per-element order is unchanged (each
+// acc[i]'s chain is independent), so results stay bit-identical.
+__attribute__((target("avx512f"))) static void pwm_lut_pass_avx512(
+    const double lut[4], const int8_t* sptr, int nw, bool comp, bool mul,
+    double* acc) {
+  const __m512d lut_v = _mm512_castpd256_pd512(_mm256_loadu_pd(lut));
+  const __m512i v3 = _mm512_set1_epi64(3);
+  int i = 0;
+  for (; i + 8 <= nw; i += 8) {
+    __m512i idx =
+        _mm512_cvtepi8_epi64(_mm_loadl_epi64((const __m128i*)(sptr + i)));
+    if (comp) idx = _mm512_sub_epi64(v3, idx);
+    const __m512d vals = _mm512_permutexvar_pd(idx, lut_v);
+    const __m512d a = _mm512_loadu_pd(acc + i);
+    _mm512_storeu_pd(acc + i,
+                     mul ? _mm512_mul_pd(a, vals) : _mm512_add_pd(a, vals));
+  }
+  for (; i < nw; ++i) {
+    int b = sptr[i];
+    if (comp) b = 3 - b;
+    if (mul)
+      acc[i] *= lut[b];
+    else
+      acc[i] += lut[b];
+  }
+}
+
+static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
+                         bool comp, bool mul, double* acc) {
+  if (cpu_avx512()) {
+    pwm_lut_pass_avx512(lut, sptr, nw, comp, mul, acc);
+    return;
+  }
+  for (int i = 0; i < nw; ++i) {
+    int b = sptr[i];
+    if (comp) b = 3 - b;
+    if (mul)
+      acc[i] *= lut[b];
+    else
+      acc[i] += lut[b];
+  }
+}
 #else
 static bool cpu_avx512() { return false; }
 constexpr int CTX_W = 11;
 static void icm_probs_avx512(const NativeIcm&, const int8_t*, int64_t, int,
                              bool, float*) {}
+static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
+                         bool comp, bool mul, double* acc) {
+  for (int i = 0; i < nw; ++i) {
+    int b = sptr[i];
+    if (comp) b = 3 - b;
+    if (mul)
+      acc[i] *= lut[b];
+    else
+      acc[i] += lut[b];
+  }
+}
 #endif
 
 // Per-base probs for one fixed frame over the whole string: blocked,
@@ -541,24 +662,25 @@ struct PwmScorer {
         const double* cols = models.meta_cols + (size_t)p * w * 4;
         std::fill(prod.begin(), prod.end(), 1.0);
         for (int j = 0; j < w; ++j)
-          for (int i = 0; i < nw; ++i) prod[i] *= cols[j * 4 + seq[j + i]];
+          pwm_lut_pass(cols + j * 4, seq + j, nw, false, true, prod.data());
         for (int i = 0; i < nw; ++i) mix_fwd[i] += prod[i];
       }
       for (int i = 0; i < nw; ++i) mix_fwd[i] /= (double)models.n_meta_pwms;
       for (int j = 0; j < w; ++j)
-        for (int i = 0; i < nw; ++i) gc_fwd[i] += nt_lp[seq[j + i]];
+        pwm_lut_pass(nt_lp, seq + j, nw, false, false, gc_fwd.data());
       // rev: window ending at hi = i + w - 1 uses comp(seq[hi - j])
       for (int p = 0; p < models.n_meta_pwms; ++p) {
         const double* cols = models.meta_cols + (size_t)p * w * 4;
         std::fill(prod.begin(), prod.end(), 1.0);
         for (int j = 0; j < w; ++j)
-          for (int i = 0; i < nw; ++i)
-            prod[i] *= cols[j * 4 + (3 - seq[w - 1 - j + i])];
+          pwm_lut_pass(cols + j * 4, seq + (w - 1 - j), nw, true, true,
+                       prod.data());
         for (int i = 0; i < nw; ++i) mix_rev[i] += prod[i];
       }
       for (int i = 0; i < nw; ++i) mix_rev[i] /= (double)models.n_meta_pwms;
       for (int j = 0; j < w; ++j)
-        for (int i = 0; i < nw; ++i) gc_rev[i] += nt_lp[3 - seq[w - 1 - j + i]];
+        pwm_lut_pass(nt_lp, seq + (w - 1 - j), nw, true, false,
+                     gc_rev.data());
       memo_fwd.assign(nw, std::numeric_limits<double>::quiet_NaN());
       memo_rev.assign(nw, std::numeric_limits<double>::quiet_NaN());
     } else if (models.user_rbs && models.pwm_width > 0) {
@@ -566,8 +688,8 @@ struct PwmScorer {
       const int nw = n >= w ? n - w + 1 : 0;
       fwd_window.assign(nw, 0.0);
       for (int j = 0; j < w; ++j)
-        for (int i = 0; i < nw; ++i)
-          fwd_window[i] += m->pwm_cols[j * 4 + seq[j + i]];
+        pwm_lut_pass(m->pwm_cols + j * 4, seq + j, nw, false, false,
+                     fwd_window.data());
     }
   }
 
@@ -1440,8 +1562,10 @@ struct MgScorer {
   const int32_t* quals;  // nullable
   bool allow_indels, allow_subs, have_qual_file;
   std::vector<uint8_t> masks, comp_masks;
-  // scratch
-  std::vector<double> score_buf;
+  // scratch: one cumulative-score buffer per recursion depth (score_indels
+  // re-enters score_orf_starts while the parent still reads its buffer;
+  // depth is bounded by the error-set size, INDEL_MAX + substitution)
+  std::array<std::vector<double>, 8> score_pool;
 
   void init(const NativeModels& models, const int8_t* s, int len,
             ReadState* st, const int32_t* q, bool indels, bool subs,
@@ -1501,7 +1625,8 @@ struct MgScorer {
     (void)bm;
     (void)bq_src;
 
-    std::vector<double> score;
+    std::vector<double>& score =
+        score_pool[std::min<int>(errors.n, (int)score_pool.size() - 1)];
     st.cumulative_frame_score(frame, lo, hi, score);
     const int64_t mm = (int64_t)score.size();
 
@@ -1546,8 +1671,14 @@ struct MgScorer {
     const bool indel_ok = allow_indels && quals != nullptr &&
                           errors.n < INDEL_MAX && mm > 0;
 
-    // local copy: recursion below may reallocate this->score_buf
-    for (int64_t j = mm - 1; j >= lowest_j; --j) {
+    // Error-free scans only act at codon boundaries (j % 3 == 0, j >=
+    // min_j): step those directly.  With indel branching every j must be
+    // visited for the quality check.
+    const int64_t j_start =
+        indel_ok ? mm - 1 : std::min(((mm - 1) / 3) * 3, mm - 1);
+    const int64_t j_step = indel_ok ? 1 : 3;
+    const int64_t j_stop = indel_ok ? lowest_j : std::max(lowest_j, min_j);
+    for (int64_t j = j_start; j >= j_stop; j -= j_step) {
       if (indel_ok && buff_qual(j) <= INDEL_QUALITY_THRESHOLD) {
         const int64_t kk = k + dir_ * (mm - 1 - j);
         score_indels(orf, start_list, errors, suffix_score, suffix_j, score,
@@ -1752,11 +1883,14 @@ static void predict_read(const ReadJob& job, bool allow_indels,
   }
 
   {
-    PhaseTimer pt(PH_SCORE);
+    PhaseTimer pt(PH_SCINIT);
     w.scorer.init(M, s, n, &w.state, quals, allow_indels, allow_subs,
                   have_qual);
     w.engine.init(M, n);
     w.pwm.init(M, s, n);
+  }
+  {
+    PhaseTimer pt(PH_SCORE);
     score_orfs_errors(M, w.scorer, w.orfs, w.engine, w.pwm);
   }
   Event* final_event;

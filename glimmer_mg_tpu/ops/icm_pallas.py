@@ -54,6 +54,15 @@ rolled inputs, overhead-subtracted):
     compaction is dead. MXU one-hot row-fetch costs table_size MACs per
     position (~2x the select-scan even at int8 TOPS) plus an equally
     expensive one-hot build.
+  * Mosaic's sublane gather (jnp.take_along_axis(tab, idx, axis=0), lowered
+    to tpu.DynamicGatherOp) was probed as a row-scan replacement: it
+    compiles only for one-vreg operands (8 sublanes; 64/344-row operands
+    fail Mosaic compilation) and fixes the lane (out[s,l] = tab[idx[s,l],
+    l]).  The select-scan needs tab[row[s,l], lane[s,l]] with BOTH indices
+    data-dependent, and the two-step sublane-then-lane composition
+    evaluates the inner index at the wrong row for any layout (the
+    permutation cannot be factored), so vreg gathers cannot shortcut the
+    scan.
 
 Compile cost: the unrolled scan takes minutes per (models, batch) shape on
 the remote-compile tunnel (cold); the persistent compilation cache

@@ -148,3 +148,66 @@ def test_native_length_trunc_scan_matches_python(monkeypatch):
     for a, b in zip(ld_nat.full + ld_nat.trunc + ld_nat.trunc2,
                     ld_py.full + ld_py.trunc + ld_py.trunc2):
         assert np.array_equal(a, b, equal_nan=True)
+
+
+def test_fixed_frame_probs_vector_walk_edges(gicm):
+    """The AVX-512 walk (icm_probs_avx512) vs the numpy oracle, bitwise.
+
+    Lengths straddle the vector kernel's thresholds: < 64 falls back to the
+    blocked scalar walk, >= 64 runs the 16-lane vector loop with a scalar
+    head (< 11) and tail (n % 16), so every dispatch path and boundary is
+    pinned.  Also covers the depth-2 null model (LUT-only walk levels).
+    """
+    from glimmer_mg_tpu import native
+    from glimmer_mg_tpu.models import dna, icm as icm_mod
+
+    ind = icm_mod.build_indep_wo_stops(
+        np.float32(0.45), ("taa", "tag", "tga")
+    )
+    rng = np.random.default_rng(0)
+    for n in (1, 5, 11, 12, 30, 63, 64, 65, 100, 257, 511, 512):
+        seq_idx = rng.integers(0, 4, n).astype(np.int8)
+        gene6, ind6 = native.fixed_frame_probs(gicm, ind, seq_idx)
+        rev = seq_idx[::-1]
+        comp = dna.COMPLEMENT_INDEX[seq_idx]
+        for icm, got in ((gicm, gene6), (ind, ind6)):
+            for f in range(3):
+                want_rev = icm_mod.per_base_logprob_vec(
+                    icm, rev, f, cycle=False)
+                want_comp = icm_mod.per_base_logprob_vec(
+                    icm, comp, f, cycle=False)
+                assert np.array_equal(got[f], want_rev), (n, f)
+                assert np.array_equal(got[3 + f], want_comp), (n, f)
+
+
+def test_predict_batch_fast_and_slow_marshal_agree(reads, gicm):
+    """predict_batch's vectorized struct-fill fast path == the per-job
+    ctypes loop (forced via a non-int8 seq dtype)."""
+    from glimmer_mg_tpu import native
+    from glimmer_mg_tpu.engine.glimmer_mg import Models
+    from glimmer_mg_tpu.engine.orfs import CodonPatterns
+    from glimmer_mg_tpu.models import dna, icm as icm_mod
+
+    ind = icm_mod.build_indep_wo_stops(
+        np.float32(0.45), ("taa", "tag", "tga")
+    )
+    models = Models(gene_icm=gicm, indep_model=ind,
+                    patterns=CodonPatterns.make(None, ("taa", "tag", "tga")))
+    nm = native.NativeModels(models)
+    jobs_fast = [(dna.encode(s.lower()), None, False, None, nm)
+                 for _h, s in reads[:40]]
+    jobs_slow = [(seq.astype(np.int16), q, hq, fs, m)
+                 for seq, q, hq, fs, m in jobs_fast]
+    out_fast = native.predict_batch(jobs_fast)
+    out_slow = native.predict_batch(jobs_slow)
+
+    def flat(res):
+        return [
+            (g.id, g.start, g.stop, g.frame, g.score, g.errors, g.truncated)
+            for genes in res
+            for g in genes
+        ]
+
+    assert flat(out_fast) == flat(out_slow)
+    assert [len(g) for g in out_fast] == [len(g) for g in out_slow]
+    assert sum(len(g) for g in out_fast) > 0
