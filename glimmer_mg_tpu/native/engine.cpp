@@ -179,25 +179,32 @@ static bool cpu_avx512() {
 constexpr int CTX_W = 11;  // widest supported context (model_len 12)
 
 // ctx[i] valid for i >= CTX_W; scratch reused per thread.
-static thread_local std::vector<int32_t> g_ctx_scratch;
-static const int32_t* build_ctx(const int8_t* s, int64_t n) {
-  g_ctx_scratch.resize(std::max<int64_t>(n, 1));
-  int32_t* ctx = g_ctx_scratch.data();
+static void build_ctx_into(std::vector<int32_t>& buf, const int8_t* s,
+                           int64_t n) {
+  buf.resize(std::max<int64_t>(n, 1));
+  int32_t* ctx = buf.data();
   uint32_t c = 0;
   ctx[0] = 0;
   for (int64_t i = 1; i < n; ++i) {
     c = (c >> 2) | ((uint32_t)(uint8_t)s[i - 1] << (2 * (CTX_W - 1)));
     ctx[i] = (int32_t)c;
   }
-  return ctx;
+}
+
+static thread_local std::vector<int32_t> g_ctx_scratch;
+static const int32_t* build_ctx(const int8_t* s, int64_t n) {
+  build_ctx_into(g_ctx_scratch, s, n);
+  return g_ctx_scratch.data();
 }
 
 __attribute__((target("avx512f,avx512bw"))) static void icm_probs_avx512(
     const NativeIcm& M, const int8_t* s, int64_t n, int frame0, bool cycle,
-    float* out) {
+    float* out, const int32_t* ctx_pre = nullptr) {
   const int w = M.model_len - 1;
   const int P = M.periodicity;
-  const int32_t* ctx = build_ctx(s, n);
+  // callers walking several (model, frame) pairs over one buffer share the
+  // packed context registers instead of rebuilding them per pass
+  const int32_t* ctx = ctx_pre != nullptr ? ctx_pre : build_ctx(s, n);
   const int64_t head = std::min<int64_t>(n, CTX_W);
   for (int64_t i = 0; i < head; ++i)
     out[i] = icm_base_prob(M, s, (int)i, cycle ? (int)((frame0 + i) % P)
@@ -361,6 +368,54 @@ __attribute__((target("avx512f"))) static void pwm_lut_pass_avx512(
   }
 }
 
+// Codon-pattern classification for the ORF finder: per-16-position bitmasks
+// of can_be(fwd/rev start) and must_be(fwd/rev stop) over the 12-bit codon
+// registers.  Same nibble tests as the scalar can_be/must_be below, one
+// vector op per nibble per pattern.
+__attribute__((target("avx512f,avx512bw"))) static void classify_codons_avx512(
+    const int32_t* cod, int n, const int32_t* fsp, int nfs,
+    const int32_t* rsp, int nrs, const int32_t* fpp, int nfp,
+    const int32_t* rpp, int nrp, uint16_t* m_fstart, uint16_t* m_rstart,
+    uint16_t* m_fstop, uint16_t* m_rstop) {
+  const __m512i nib2 = _mm512_set1_epi32(0xF00);
+  const __m512i nib1 = _mm512_set1_epi32(0x0F0);
+  const __m512i nib0 = _mm512_set1_epi32(0x00F);
+  const int nb = (n + 15) / 16;
+  for (int b = 0; b < nb; ++b) {
+    const int i0 = b * 16;
+    const __mmask16 valid =
+        i0 + 16 <= n ? (__mmask16)0xFFFF
+                     : (__mmask16)((1u << (n - i0)) - 1);
+    const __m512i c = _mm512_maskz_loadu_epi32(valid, cod + i0);
+    const __mmask16 nz = _mm512_test_epi32_mask(c, nib2) &
+                         _mm512_test_epi32_mask(c, nib1) &
+                         _mm512_test_epi32_mask(c, nib0);
+    __mmask16 can_fs = 0, can_rs = 0, must_fp = 0, must_rp = 0;
+    for (int k = 0; k < nfs; ++k) {
+      const __m512i cp = _mm512_and_si512(c, _mm512_set1_epi32(fsp[k]));
+      can_fs |= _mm512_test_epi32_mask(cp, nib2) &
+                _mm512_test_epi32_mask(cp, nib1) &
+                _mm512_test_epi32_mask(cp, nib0);
+    }
+    for (int k = 0; k < nrs; ++k) {
+      const __m512i cp = _mm512_and_si512(c, _mm512_set1_epi32(rsp[k]));
+      can_rs |= _mm512_test_epi32_mask(cp, nib2) &
+                _mm512_test_epi32_mask(cp, nib1) &
+                _mm512_test_epi32_mask(cp, nib0);
+    }
+    for (int k = 0; k < nfp; ++k)
+      must_fp |= _mm512_cmpeq_epi32_mask(
+          _mm512_and_si512(c, _mm512_set1_epi32(fpp[k])), c);
+    for (int k = 0; k < nrp; ++k)
+      must_rp |= _mm512_cmpeq_epi32_mask(
+          _mm512_and_si512(c, _mm512_set1_epi32(rpp[k])), c);
+    m_fstart[b] = (uint16_t)(can_fs & valid);
+    m_rstart[b] = (uint16_t)(can_rs & valid);
+    m_fstop[b] = (uint16_t)(must_fp & nz & valid);
+    m_rstop[b] = (uint16_t)(must_rp & nz & valid);
+  }
+}
+
 static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
                          bool comp, bool mul, double* acc) {
   if (cpu_avx512()) {
@@ -380,7 +435,11 @@ static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
 static bool cpu_avx512() { return false; }
 constexpr int CTX_W = 11;
 static void icm_probs_avx512(const NativeIcm&, const int8_t*, int64_t, int,
-                             bool, float*) {}
+                             bool, float*, const int32_t* = nullptr) {}
+static void classify_codons_avx512(const int32_t*, int, const int32_t*, int,
+                                   const int32_t*, int, const int32_t*, int,
+                                   const int32_t*, int, uint16_t*, uint16_t*,
+                                   uint16_t*, uint16_t*) {}
 static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
                          bool comp, bool mul, double* acc) {
   for (int i = 0; i < nw; ++i) {
@@ -400,9 +459,9 @@ static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
 // the latency).  Freezing a finished walk's node re-evaluates the same
 // stop condition, so the lockstep loop is exactly the scalar early-break.
 static void icm_frame_probs(const NativeIcm& M, const int8_t* s, int n, int f,
-                            float* out) {
+                            float* out, const int32_t* ctx_pre = nullptr) {
   if (cpu_avx512() && M.model_len - 1 <= CTX_W && n >= 64) {
-    icm_probs_avx512(M, s, n, f, /*cycle=*/false, out);
+    icm_probs_avx512(M, s, n, f, /*cycle=*/false, out, ctx_pre);
     return;
   }
   const int w = M.model_len - 1;
@@ -855,12 +914,41 @@ struct OrfFinder {
       rstarts[f].clear();
     }
     std::vector<std::pair<int, int>> stop_events;  // (subscript, ±1)
-    for (int i = 0; i < n; ++i) {
-      const int f = i % 3;
-      if (can_be(cod[i], M.fwd_start, M.n_fwd_start)) fstarts[f].push_back(i);
-      if (can_be(cod[i], M.rev_start, M.n_rev_start)) rstarts[f].push_back(i);
-      if (must_be(cod[i], M.fwd_stop, M.n_fwd_stop)) stop_events.push_back({i, +1});
-      if (must_be(cod[i], M.rev_stop, M.n_rev_stop)) stop_events.push_back({i, -1});
+    if (cpu_avx512() && n >= 32) {
+      // vectorized pattern tests, then walk only the hit positions
+      const int nb = (n + 15) / 16;
+      thread_local std::vector<uint16_t> mfs, mrs, mfp, mrp;
+      mfs.resize(nb);
+      mrs.resize(nb);
+      mfp.resize(nb);
+      mrp.resize(nb);
+      classify_codons_avx512(cod.data(), n, M.fwd_start, M.n_fwd_start,
+                             M.rev_start, M.n_rev_start, M.fwd_stop,
+                             M.n_fwd_stop, M.rev_stop, M.n_rev_stop,
+                             mfs.data(), mrs.data(), mfp.data(), mrp.data());
+      for (int b = 0; b < nb; ++b) {
+        uint32_t u = (uint32_t)mfs[b] | mrs[b] | mfp[b] | mrp[b];
+        while (u) {
+          const int t = __builtin_ctz(u);
+          u &= u - 1;
+          const int i = b * 16 + t;
+          const int f = i % 3;
+          if ((mfs[b] >> t) & 1) fstarts[f].push_back(i);
+          if ((mrs[b] >> t) & 1) rstarts[f].push_back(i);
+          if ((mfp[b] >> t) & 1) stop_events.push_back({i, +1});
+          if ((mrp[b] >> t) & 1) stop_events.push_back({i, -1});
+        }
+      }
+    } else {
+      for (int i = 0; i < n; ++i) {
+        const int f = i % 3;
+        if (can_be(cod[i], M.fwd_start, M.n_fwd_start)) fstarts[f].push_back(i);
+        if (can_be(cod[i], M.rev_start, M.n_rev_start)) rstarts[f].push_back(i);
+        if (must_be(cod[i], M.fwd_stop, M.n_fwd_stop))
+          stop_events.push_back({i, +1});
+        if (must_be(cod[i], M.rev_stop, M.n_rev_stop))
+          stop_events.push_back({i, -1});
+      }
     }
 
     int64_t prev_fwd_stop[3] = {0, 0, 0};
@@ -1434,6 +1522,7 @@ struct ReadState {
   int n;
   std::vector<double> frame_scores;  // [6][n] LLR
   std::vector<int64_t> fwd_prev, rev_next;
+  std::vector<int32_t> ctx_rev_buf, ctx_comp_buf;  // shared walk contexts
 
   void compute_frame_scores_native(const std::vector<int8_t>& rev,
                                    const std::vector<int8_t>& comp) {
@@ -1442,17 +1531,25 @@ struct ReadState {
     const NativeIcm& I = m->indep;
     frame_scores.assign((size_t)6 * n, 0.0);
     std::vector<float> g_buf(n), n_buf(n);
+    const int32_t* ctx_rev = nullptr;
+    const int32_t* ctx_comp = nullptr;
+    if (cpu_avx512() && n >= 64) {
+      build_ctx_into(ctx_rev_buf, rev.data(), n);
+      build_ctx_into(ctx_comp_buf, comp.data(), n);
+      ctx_rev = ctx_rev_buf.data();
+      ctx_comp = ctx_comp_buf.data();
+    }
     for (int f = 0; f < 3; ++f) {
       const int gf = f % G.periodicity;
       const int nf = f % I.periodicity;
       double* fs = frame_scores.data() + (size_t)f * n;
-      icm_frame_probs(G, rev.data(), n, gf, g_buf.data());
-      icm_frame_probs(I, rev.data(), n, nf, n_buf.data());
+      icm_frame_probs(G, rev.data(), n, gf, g_buf.data(), ctx_rev);
+      icm_frame_probs(I, rev.data(), n, nf, n_buf.data(), ctx_rev);
       for (int j = 0; j < n; ++j)
         fs[n - 1 - j] = (double)g_buf[j] - (double)n_buf[j];
       double* fs2 = frame_scores.data() + (size_t)(3 + f) * n;
-      icm_frame_probs(G, comp.data(), n, gf, g_buf.data());
-      icm_frame_probs(I, comp.data(), n, nf, n_buf.data());
+      icm_frame_probs(G, comp.data(), n, gf, g_buf.data(), ctx_comp);
+      icm_frame_probs(I, comp.data(), n, nf, n_buf.data(), ctx_comp);
       for (int j = 0; j < n; ++j)
         fs2[j] = (double)g_buf[j] - (double)n_buf[j];
     }
@@ -1463,11 +1560,34 @@ struct ReadState {
     const NativeModels& M = *m;
     fwd_prev.assign(n, 0);
     rev_next.assign(n, 0);
+    // vectorized stop classification (same tests as scalar must_be)
+    const bool use_masks = cpu_avx512() && n >= 32;
+    thread_local std::vector<uint16_t> mfp, mrp;
+    if (use_masks) {
+      const int nb = (n + 15) / 16;
+      mfp.resize(nb);
+      mrp.resize(nb);
+      thread_local std::vector<uint16_t> unused_a, unused_b;
+      unused_a.resize(nb);
+      unused_b.resize(nb);
+      classify_codons_avx512(cod.data(), n, nullptr, 0, nullptr, 0,
+                             M.fwd_stop, M.n_fwd_stop, M.rev_stop,
+                             M.n_rev_stop, unused_a.data(), unused_b.data(),
+                             mfp.data(), mrp.data());
+    }
+    auto is_fwd_stop = [&](int i) {
+      return use_masks ? (((mfp[i >> 4] >> (i & 15)) & 1) != 0)
+                       : must_be(cod[i], M.fwd_stop, M.n_fwd_stop);
+    };
+    auto is_rev_stop = [&](int i) {
+      return use_masks ? (((mrp[i >> 4] >> (i & 15)) & 1) != 0)
+                       : must_be(cod[i], M.rev_stop, M.n_rev_stop);
+    };
     static const int64_t init_f[3] = {0, 1, -1};
     for (int f = 0; f < 3; ++f) {
       int64_t run = init_f[f];
       for (int i = f; i < n; i += 3) {
-        if (i >= 2 && must_be(cod[i], M.fwd_stop, M.n_fwd_stop))
+        if (i >= 2 && is_fwd_stop(i))
           run = std::max(run, (int64_t)i);
         fwd_prev[i] = run;
       }
@@ -1477,7 +1597,7 @@ struct ReadState {
       int64_t run = init_r[f];
       for (int i = n - 1 - f; i >= 0; i -= 3) {
         const int ci = std::min(i + 2, n - 1);
-        if (i <= n - 3 && must_be(cod[ci], M.rev_stop, M.n_rev_stop))
+        if (i <= n - 3 && is_rev_stop(ci))
           run = std::min(run, (int64_t)i);
         rev_next[i] = run;
       }
@@ -2225,13 +2345,26 @@ void gmg_fixed_frame_probs(const NativeModels* models, const int8_t* seq,
     rev[i] = seq[len - 1 - i];
     comp[i] = 3 - seq[i];
   }
+  std::vector<int32_t> ctx_rev_buf, ctx_comp_buf;
+  const int32_t* ctx_rev = nullptr;
+  const int32_t* ctx_comp = nullptr;
+  if (cpu_avx512() && len >= 64) {
+    build_ctx_into(ctx_rev_buf, rev.data(), len);
+    build_ctx_into(ctx_comp_buf, comp.data(), len);
+    ctx_rev = ctx_rev_buf.data();
+    ctx_comp = ctx_comp_buf.data();
+  }
   for (int f = 0; f < 3; ++f) {
     const int gf = f % G.periodicity;
     const int nf = f % I.periodicity;
-    icm_frame_probs(G, rev.data(), len, gf, out_gene + (size_t)f * len);
-    icm_frame_probs(I, rev.data(), len, nf, out_ind + (size_t)f * len);
-    icm_frame_probs(G, comp.data(), len, gf, out_gene + (size_t)(3 + f) * len);
-    icm_frame_probs(I, comp.data(), len, nf, out_ind + (size_t)(3 + f) * len);
+    icm_frame_probs(G, rev.data(), len, gf, out_gene + (size_t)f * len,
+                    ctx_rev);
+    icm_frame_probs(I, rev.data(), len, nf, out_ind + (size_t)f * len,
+                    ctx_rev);
+    icm_frame_probs(G, comp.data(), len, gf,
+                    out_gene + (size_t)(3 + f) * len, ctx_comp);
+    icm_frame_probs(I, comp.data(), len, nf, out_ind + (size_t)(3 + f) * len,
+                    ctx_comp);
   }
 }
 
