@@ -894,7 +894,7 @@ def run_glimmer_mg_classes(
         ]
 
     use_device = _use_device_precompute(device_precompute)
-    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
+    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "2048"))
     pending: list = []  # (header, seq_idx or None, models, quals, have_qual)
     inflight: list = []  # at most one (chunk, engine-future) in flight
 
@@ -1224,7 +1224,7 @@ def run_glimmer_mg(
         models.user_rbs = True
 
     use_device = _use_device_precompute(device_precompute)
-    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "256"))
+    chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "2048"))
     pending: list = []
 
     def _flush():

@@ -368,6 +368,156 @@ __attribute__((target("avx512f"))) static void pwm_lut_pass_avx512(
   }
 }
 
+// Fused fixed-frame walk of the (gene, null) model pair over one buffer.
+// The null ICM (model_len 3, depth 2, <= 21 nodes) is resolved entirely
+// in registers — mut_info_pos and the 84-entry prob table live in zmm LUTs
+// — so its ~25 ALU ops per block are independent work the OOO core
+// executes under the gene walk's gather latency.  Bitwise-identical to two
+// icm_frame_probs passes.
+__attribute__((target("avx512f,avx512bw"))) static void icm_pair_fixed_avx512(
+    const NativeIcm& G, const NativeIcm& I, const int8_t* s, int64_t n,
+    int gf, int nf, float* outG, float* outI, const int32_t* ctx_pre) {
+  const int32_t* ctx = ctx_pre != nullptr ? ctx_pre : build_ctx(s, n);
+  const int64_t head = std::min<int64_t>(n, CTX_W);
+  for (int64_t i = 0; i < head; ++i) {
+    outG[i] = icm_base_prob(G, s, (int)i, gf);
+    outI[i] = icm_base_prob(I, s, (int)i, nf);
+  }
+
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone = _mm512_set1_epi32(1);
+  const __m512i vthree = _mm512_set1_epi32(3);
+  const __m512i voffG = _mm512_set1_epi32(2 * (CTX_W - (G.model_len - 1)));
+  const __m512i voffI = _mm512_set1_epi32(2 * (CTX_W - (I.model_len - 1)));
+
+  // gene LUTs (levels 0..2) and table bases
+  const int16_t* gmp = G.mip + (size_t)gf * G.num_nodes;
+  const float* gpr = G.probs + (size_t)gf * G.num_nodes * 4;
+  alignas(64) int32_t t[16];
+  const __m512i gpos0 = _mm512_set1_epi32((int32_t)gmp[0]);
+  for (int k = 0; k < 4; ++k) t[k] = gmp[1 + k];
+  for (int k = 4; k < 16; ++k) t[k] = 0;
+  const __m512i glut1 = _mm512_load_si512(t);
+  __m512i glut2 = vzero;
+  if (G.depth >= 3) {
+    for (int k = 0; k < 16; ++k) t[k] = gmp[5 + k];
+    glut2 = _mm512_load_si512(t);
+  }
+
+  // null LUTs: mut_info_pos for all nodes (<= 21 -> 2 regs) and the full
+  // prob table (<= 84 floats -> 6 regs)
+  const int16_t* imp = I.mip + (size_t)nf * I.num_nodes;
+  const float* ipr = I.probs + (size_t)nf * I.num_nodes * 4;
+  alignas(64) int32_t tm[32];
+  alignas(64) float tp[96];
+  for (int k = 0; k < 32; ++k)
+    tm[k] = k < I.num_nodes ? (int32_t)imp[k] : -1;
+  for (int k = 0; k < 96; ++k)
+    tp[k] = k < I.num_nodes * 4 ? ipr[k] : 0.0f;
+  const __m512i ilm0 = _mm512_load_si512(tm);
+  const __m512i ilm1 = _mm512_load_si512(tm + 16);
+  const __m512 ilp0 = _mm512_load_ps(tp);
+  const __m512 ilp1 = _mm512_load_ps(tp + 16);
+  const __m512 ilp2 = _mm512_load_ps(tp + 32);
+  const __m512 ilp3 = _mm512_load_ps(tp + 48);
+  const __m512 ilp4 = _mm512_load_ps(tp + 64);
+  const __m512 ilp5 = _mm512_load_ps(tp + 80);
+
+  int64_t i = head;
+  for (; i + 16 <= n; i += 16) {
+    const __m512i ctx_v = _mm512_loadu_si512((const void*)(ctx + i));
+    const __m512i sb =
+        _mm512_cvtepi8_epi32(_mm_loadu_si128((const __m128i*)(s + i)));
+
+    // ---- null walk (all in registers) ----
+    __m512i inode = vzero;
+    __mmask16 iact = 0xFFFF;
+    for (int d = 0; d < I.depth && iact; ++d) {
+      const __m512i pos = _mm512_permutex2var_epi32(ilm0, inode, ilm1);
+      const __mmask16 still = _mm512_mask_cmpge_epi32_mask(iact, pos, vzero);
+      const __m512i sh = _mm512_add_epi32(_mm512_slli_epi32(pos, 1), voffI);
+      const __m512i b = _mm512_and_si512(_mm512_srlv_epi32(ctx_v, sh), vthree);
+      const __m512i child =
+          _mm512_add_epi32(_mm512_add_epi32(_mm512_slli_epi32(inode, 2), b),
+                           vone);
+      inode = _mm512_mask_mov_epi32(inode, still, child);
+      iact = still;
+    }
+    {
+      const __m512i posf = _mm512_permutex2var_epi32(ilm0, inode, ilm1);
+      const __mmask16 pruned =
+          _mm512_cmpeq_epi32_mask(posf, _mm512_set1_epi32(-2));
+      const __m512i parent = _mm512_srli_epi32(
+          _mm512_max_epi32(_mm512_sub_epi32(inode, vone), vzero), 2);
+      inode = _mm512_mask_mov_epi32(inode, pruned, parent);
+    }
+    const __m512i pidxI =
+        _mm512_add_epi32(_mm512_slli_epi32(inode, 2), sb);
+    const __m512 v01 = _mm512_permutex2var_ps(ilp0, pidxI, ilp1);
+    const __m512 v23 = _mm512_permutex2var_ps(ilp2, pidxI, ilp3);
+    const __m512 v45 = _mm512_permutex2var_ps(ilp4, pidxI, ilp5);
+    const __mmask16 ge32 =
+        _mm512_cmpge_epi32_mask(pidxI, _mm512_set1_epi32(32));
+    const __mmask16 ge64 =
+        _mm512_cmpge_epi32_mask(pidxI, _mm512_set1_epi32(64));
+    __m512 iv = _mm512_mask_mov_ps(v01, ge32, v23);
+    iv = _mm512_mask_mov_ps(iv, ge64, v45);
+    _mm512_storeu_ps(outI + i, iv);
+
+    // ---- gene walk (LUT levels 0..2, gathers beyond) ----
+    __m512i node = vzero;
+    __mmask16 active = 0xFFFF;
+    for (int d = 0; d < std::min(G.depth, 3) && active; ++d) {
+      __m512i pos;
+      if (d == 0) {
+        pos = gpos0;
+      } else if (d == 1) {
+        pos = _mm512_permutexvar_epi32(_mm512_sub_epi32(node, vone), glut1);
+      } else {
+        pos = _mm512_permutexvar_epi32(
+            _mm512_sub_epi32(node, _mm512_set1_epi32(5)), glut2);
+      }
+      const __mmask16 still = _mm512_mask_cmpge_epi32_mask(active, pos, vzero);
+      const __m512i sh = _mm512_add_epi32(_mm512_slli_epi32(pos, 1), voffG);
+      const __m512i b = _mm512_and_si512(_mm512_srlv_epi32(ctx_v, sh), vthree);
+      const __m512i child =
+          _mm512_add_epi32(_mm512_add_epi32(_mm512_slli_epi32(node, 2), b),
+                           vone);
+      node = _mm512_mask_mov_epi32(node, still, child);
+      active = still;
+    }
+    for (int d = 3; d < G.depth && active; ++d) {
+      const __m512i raw = _mm512_mask_i32gather_epi32(
+          vzero, active, node, (const int*)gmp, 2);
+      const __m512i pos = _mm512_srai_epi32(_mm512_slli_epi32(raw, 16), 16);
+      const __mmask16 still = _mm512_mask_cmpge_epi32_mask(active, pos, vzero);
+      const __m512i sh = _mm512_add_epi32(_mm512_slli_epi32(pos, 1), voffG);
+      const __m512i b = _mm512_and_si512(_mm512_srlv_epi32(ctx_v, sh), vthree);
+      const __m512i child =
+          _mm512_add_epi32(_mm512_add_epi32(_mm512_slli_epi32(node, 2), b),
+                           vone);
+      node = _mm512_mask_mov_epi32(node, still, child);
+      active = still;
+    }
+    {
+      const __m512i raw =
+          _mm512_i32gather_epi32(node, (const int*)gmp, 2);
+      const __m512i posf = _mm512_srai_epi32(_mm512_slli_epi32(raw, 16), 16);
+      const __mmask16 pruned =
+          _mm512_cmpeq_epi32_mask(posf, _mm512_set1_epi32(-2));
+      const __m512i parent = _mm512_srli_epi32(
+          _mm512_max_epi32(_mm512_sub_epi32(node, vone), vzero), 2);
+      node = _mm512_mask_mov_epi32(node, pruned, parent);
+    }
+    const __m512i pidxG = _mm512_add_epi32(_mm512_slli_epi32(node, 2), sb);
+    _mm512_storeu_ps(outG + i, _mm512_i32gather_ps(pidxG, gpr, 4));
+  }
+  for (; i < n; ++i) {
+    outG[i] = icm_base_prob(G, s, (int)i, gf);
+    outI[i] = icm_base_prob(I, s, (int)i, nf);
+  }
+}
+
 // Codon-pattern classification for the ORF finder: per-16-position bitmasks
 // of can_be(fwd/rev start) and must_be(fwd/rev stop) over the 12-bit codon
 // registers.  Same nibble tests as the scalar can_be/must_be below, one
@@ -440,6 +590,9 @@ static void classify_codons_avx512(const int32_t*, int, const int32_t*, int,
                                    const int32_t*, int, const int32_t*, int,
                                    const int32_t*, int, uint16_t*, uint16_t*,
                                    uint16_t*, uint16_t*) {}
+static void icm_pair_fixed_avx512(const NativeIcm&, const NativeIcm&,
+                                  const int8_t*, int64_t, int, int, float*,
+                                  float*, const int32_t*) {}
 static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
                          bool comp, bool mul, double* acc) {
   for (int i = 0; i < nw; ++i) {
@@ -487,6 +640,21 @@ static void icm_frame_probs(const NativeIcm& M, const int8_t* s, int n, int f,
     }
   }
   for (; i < n; ++i) out[i] = icm_base_prob(M, s, i, f);
+}
+
+// Dispatch the fused (gene, null) fixed-frame pair when both models fit
+// the vector path's register LUT limits; otherwise two independent passes.
+static void icm_frame_probs_pair(const NativeIcm& G, const NativeIcm& I,
+                                 const int8_t* s, int64_t n, int gf, int nf,
+                                 float* outG, float* outI,
+                                 const int32_t* ctx) {
+  if (cpu_avx512() && n >= 64 && G.model_len - 1 <= CTX_W && G.depth >= 2 &&
+      I.model_len - 1 <= CTX_W && I.depth <= 2 && I.num_nodes <= 21) {
+    icm_pair_fixed_avx512(G, I, s, n, gf, nf, outG, outI, ctx);
+    return;
+  }
+  icm_frame_probs(G, s, (int)n, gf, outG, ctx);
+  icm_frame_probs(I, s, (int)n, nf, outI, ctx);
 }
 
 // ---------------------------------------------------------------------------
@@ -1543,13 +1711,13 @@ struct ReadState {
       const int gf = f % G.periodicity;
       const int nf = f % I.periodicity;
       double* fs = frame_scores.data() + (size_t)f * n;
-      icm_frame_probs(G, rev.data(), n, gf, g_buf.data(), ctx_rev);
-      icm_frame_probs(I, rev.data(), n, nf, n_buf.data(), ctx_rev);
+      icm_frame_probs_pair(G, I, rev.data(), n, gf, nf, g_buf.data(),
+                           n_buf.data(), ctx_rev);
       for (int j = 0; j < n; ++j)
         fs[n - 1 - j] = (double)g_buf[j] - (double)n_buf[j];
       double* fs2 = frame_scores.data() + (size_t)(3 + f) * n;
-      icm_frame_probs(G, comp.data(), n, gf, g_buf.data(), ctx_comp);
-      icm_frame_probs(I, comp.data(), n, nf, n_buf.data(), ctx_comp);
+      icm_frame_probs_pair(G, I, comp.data(), n, gf, nf, g_buf.data(),
+                           n_buf.data(), ctx_comp);
       for (int j = 0; j < n; ++j)
         fs2[j] = (double)g_buf[j] - (double)n_buf[j];
     }
@@ -2357,14 +2525,12 @@ void gmg_fixed_frame_probs(const NativeModels* models, const int8_t* seq,
   for (int f = 0; f < 3; ++f) {
     const int gf = f % G.periodicity;
     const int nf = f % I.periodicity;
-    icm_frame_probs(G, rev.data(), len, gf, out_gene + (size_t)f * len,
-                    ctx_rev);
-    icm_frame_probs(I, rev.data(), len, nf, out_ind + (size_t)f * len,
-                    ctx_rev);
-    icm_frame_probs(G, comp.data(), len, gf,
-                    out_gene + (size_t)(3 + f) * len, ctx_comp);
-    icm_frame_probs(I, comp.data(), len, nf, out_ind + (size_t)(3 + f) * len,
-                    ctx_comp);
+    icm_frame_probs_pair(G, I, rev.data(), len, gf, nf,
+                         out_gene + (size_t)f * len,
+                         out_ind + (size_t)f * len, ctx_rev);
+    icm_frame_probs_pair(G, I, comp.data(), len, gf, nf,
+                         out_gene + (size_t)(3 + f) * len,
+                         out_ind + (size_t)(3 + f) * len, ctx_comp);
   }
 }
 
