@@ -173,7 +173,9 @@ def bench_kernel(n_models=N_MODELS, batch=BATCH, steps=STEPS):
     }
 
 
-N_BENCH_READS = 50000  # >= 50x the 999-read fixture; best_s lands >= 2 s
+N_BENCH_READS = 100000  # >= 100x the 999-read fixture; keeps best_s >= 2 s
+# (raised 50k->100k in r3: the engine now clears ~26k reads/s, so 50k
+# finished in under 2 s and the window was back inside OS-jitter range)
 
 
 def _timed_runs(fn, n=4):
@@ -199,7 +201,7 @@ def bench_reads_per_s():
     precompute, engine "native+device") is measured on the untiled 999
     reads and reported in detail: per-base LLR shipping costs ~12 KB/read
     and this rig's device tunnel moves ~35 MB/s, so recomputing the walk on
-    the host (~35 us/read on 2 cores) wins here; the device path is the
+    the host (~10 us/read wall on 2 cores after the AVX-512 fused walk) wins here; the device path is the
     right configuration when host<->device bandwidth is PCIe-class.  Its
     output is byte-identical too (the Pallas tables are exact f32).
     """
@@ -254,7 +256,7 @@ def bench_reads_per_s():
             "runs_s": [round(x, 3) for x in t_d],
             "engine": "native+device",
             "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
-                    "host walk ~35us/read wins on this rig (COMPONENTS.md)",
+                    "host walk ~10us/read wins on this rig (COMPONENTS.md)",
         }
     except Exception as e:  # pragma: no cover - depends on chip availability
         dev_detail = {"error": str(e)[:200]}

@@ -255,7 +255,7 @@ def _use_device_precompute(device_precompute) -> bool:
         return True
     # Default: the native engine's own C++ walk wins whenever host<->device
     # bandwidth is scarce (this rig's tunnel moves ~35 MB/s; the (B, 6, L)
-    # f32 pair costs ~12 KB/read to ship vs ~35 us/read to recompute —
+    # f32 pair costs ~12 KB/read to ship vs ~10 us/read to recompute —
     # measured in COMPONENTS.md "Device precompute economics"). Without the
     # native engine the batched device walk beats per-read numpy.
     from .. import native as native_mod
