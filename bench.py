@@ -244,21 +244,23 @@ def bench_reads_per_s():
         chunk_s[chunk] = round(len(reads) / t[0], 1)
     os.environ.pop("GLIMMER_MG_TPU_CHUNK", None)
 
-    # device configuration on the untiled read set (shipping 50k reads'
-    # LLR tables over this tunnel would measure the tunnel, not the work)
-    dev_detail = {}
+    # device configuration on the untiled read set (shipping the tiled
+    # reads' LLR tables over this tunnel would measure the tunnel, not the
+    # work) — in a child process under a timeout, like the kernel rows
+    import subprocess
+
     try:
-        run(reads1k, True)  # compile + warm
-        res_d, t_d = _timed_runs(lambda: run(reads1k, True), n=2)
-        dev_detail = {
-            "reads": len(reads1k),
-            "reads_per_s": round(len(reads1k) / min(t_d), 1),
-            "runs_s": [round(x, 3) for x in t_d],
-            "engine": "native+device",
-            "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
-                    "host walk ~10us/read wins on this rig (COMPONENTS.md)",
-        }
-    except Exception as e:  # pragma: no cover - depends on chip availability
+        res_d = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-config"],
+            timeout=int(os.environ.get("GLIMMER_BENCH_DEVICE_TIMEOUT", "900")),
+            capture_output=True, text=True,
+        )
+        dev_line = [l for l in res_d.stdout.splitlines() if l.startswith("{")]
+        dev_detail = (json.loads(dev_line[-1]) if dev_line
+                      else {"error": "no output", "stderr": res_d.stderr[-300:]})
+    except subprocess.TimeoutExpired:
+        dev_detail = {"error": "TPU tunnel hang: no device-config result in 900s"}
+    except Exception as e:  # pragma: no cover
         dev_detail = {"error": str(e)[:200]}
 
     value = len(reads) / best
@@ -328,7 +330,7 @@ def bench_glimmer3():
     }), flush=True)
 
 
-def main():
+def _setup_jax_cache():
     # Persistent compilation cache: remote TPU compiles are minutes; repeat
     # bench invocations should pay them once.
     import jax
@@ -337,6 +339,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jit"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _kernel_rows():
+    _setup_jax_cache()
     k16 = bench_kernel()
     # realistic Phymm bank scale (hundreds of ICMs, scoreReadsGlim.pl
     # scores every read against every genome model): same kernel, 256-model
@@ -348,9 +353,85 @@ def main():
     }
     k16["detail"]["bank256"]["value_mbp_models_per_s"] = k256["value"]
     print(json.dumps(k16), flush=True)
+
+
+def _device_config_row():
+    """Child-process half of the device-configuration measurement."""
+    from glimmer_mg_tpu import bench_db
+    from glimmer_mg_tpu.engine import glimmer_mg as mg
+    from glimmer_mg_tpu.io.genome_data import GenomeData
+
+    db = os.path.join(CACHE_DIR, "bench_db")
+    classes, _genomes = bench_db.build_bench_db(db)
+    reads1k, class_lines1k = bench_db.bench_reads_and_classes(classes)
+    gd = GenomeData(os.path.join(db, "genomeData"))
+    cls_map = {}
+    for line in class_lines1k:
+        parts = line.split()
+        cls_map[parts[0]] = parts[1:]
+
+    def run():
+        return list(mg.run_glimmer_mg_classes(reads1k, gd, cls_map,
+                                              device_precompute=True))
+
+    run()  # compile + warm
+    _res, t_d = _timed_runs(run, n=2)
+    print(json.dumps({
+        "reads": len(reads1k),
+        "reads_per_s": round(len(reads1k) / min(t_d), 1),
+        "runs_s": [round(x, 3) for x in t_d],
+        "engine": "native+device",
+        "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
+                "host walk ~10us/read wins on this rig (COMPONENTS.md)",
+    }), flush=True)
+
+
+KERNEL_TIMEOUT_S = int(os.environ.get("GLIMMER_BENCH_KERNEL_TIMEOUT", "1500"))
+
+
+def main():
+    # The chip-dependent kernel rows run in a child process under a
+    # timeout: the remote-TPU tunnel has been observed to wedge
+    # indefinitely mid-dispatch, and a hung kernel bench must not take the
+    # (host-side) end-to-end rows down with it.
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kernel"],
+            timeout=KERNEL_TIMEOUT_S, capture_output=True, text=True,
+        )
+        printed = False
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                printed = True
+        if not printed:
+            print(json.dumps({
+                "metric": "icm_bank_scoring", "value": 0.0,
+                "unit": "Mbp*models/s", "vs_baseline": 0.0,
+                "detail": {"error": "kernel bench produced no output",
+                           "stderr": res.stderr[-400:]},
+            }), flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "icm_bank_scoring", "value": 0.0,
+            "unit": "Mbp*models/s", "vs_baseline": 0.0,
+            "detail": {"error": f"TPU tunnel hang: no result in "
+                                f"{KERNEL_TIMEOUT_S}s (see BENCH_r02.json "
+                                f"for the last healthy-tunnel kernel run)"},
+        }), flush=True)
+
+    _setup_jax_cache()
     bench_glimmer3()
     bench_reads_per_s()
 
 
 if __name__ == "__main__":
+    if "--kernel" in sys.argv:
+        _setup_jax_cache()
+        sys.exit(_kernel_rows())
+    if "--device-config" in sys.argv:
+        _setup_jax_cache()
+        sys.exit(_device_config_row())
     sys.exit(main())

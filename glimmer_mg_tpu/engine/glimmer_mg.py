@@ -329,7 +329,9 @@ def _engine_pool():
     """Single-worker pool running engine chunks behind the main thread.
 
     One worker keeps chunk ordering FIFO and serializes the lazy marshaling
-    caches; daemon threads so an abandoned generator can't hang exit."""
+    caches.  Module-level so abandoned generators don't leak pools; the
+    worker only ever runs bounded chunk jobs, so interpreter exit (which
+    joins executor threads) cannot hang on it."""
     global _ENGINE_POOL
     if _ENGINE_POOL is None:
         from concurrent.futures import ThreadPoolExecutor

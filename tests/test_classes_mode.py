@@ -176,3 +176,24 @@ def test_classes_mode_user_stops(test_db):
     diffs = [r for r in want if want[r] != ours[r]]
     assert not diffs, f"{len(diffs)} reads differ: {diffs[:2]}"
     assert got_text == (DB / "out_zstop.predict").read_text()
+
+
+def test_overlap_pipeline_byte_equal(test_db, monkeypatch):
+    """GLIMMER_MG_TPU_OVERLAP=1 (the >=4-core default: the engine worker
+    runs chunk k while the main thread parameterizes chunk k+1) produces
+    byte-identical output to the synchronous path, including record order,
+    across chunk boundaries (chunk=64 forces several in-flight chunks)."""
+    _binary, reads = test_db
+    gd = GenomeData(str(DB / "genomeData"))
+    classes = parse_classes(DB / "classes.txt")
+
+    monkeypatch.setenv("GLIMMER_MG_TPU_CHUNK", "64")
+    monkeypatch.setenv("GLIMMER_MG_TPU_OVERLAP", "0")
+    sync = mg.format_predict_mg(
+        list(mg.run_glimmer_mg_classes(reads, gd, classes))
+    )
+    monkeypatch.setenv("GLIMMER_MG_TPU_OVERLAP", "1")
+    overlapped = mg.format_predict_mg(
+        list(mg.run_glimmer_mg_classes(reads, gd, classes))
+    )
+    assert overlapped == sync
