@@ -249,17 +249,20 @@ def bench_reads_per_s():
     # work) — in a child process under a timeout, like the kernel rows
     import subprocess
 
+    dev_timeout = int(os.environ.get("GLIMMER_BENCH_DEVICE_TIMEOUT", "900"))
     try:
         res_d = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--device-config"],
-            timeout=int(os.environ.get("GLIMMER_BENCH_DEVICE_TIMEOUT", "900")),
+            timeout=dev_timeout,
             capture_output=True, text=True,
         )
         dev_line = [l for l in res_d.stdout.splitlines() if l.startswith("{")]
         dev_detail = (json.loads(dev_line[-1]) if dev_line
                       else {"error": "no output", "stderr": res_d.stderr[-300:]})
     except subprocess.TimeoutExpired:
-        dev_detail = {"error": "TPU tunnel hang: no device-config result in 900s"}
+        dev_detail = {
+            "error": f"TPU tunnel hang: no device-config result in {dev_timeout}s"
+        }
     except Exception as e:  # pragma: no cover
         dev_detail = {"error": str(e)[:200]}
 

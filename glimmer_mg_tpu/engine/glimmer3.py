@@ -581,6 +581,37 @@ def _use_native_g3(models) -> bool:
     return native_mod.available()
 
 
+_SLOW_PATH_WARNED = False
+
+
+def _warn_slow_path(reason: str, n: int) -> None:
+    """Make the pure-Python fallback cliff visible: the Python event engine
+    is orders of magnitude slower than the native path, and silently hitting
+    it on a whole genome looks like a hang. Once per process, long
+    sequences only."""
+    global _SLOW_PATH_WARNED
+    if _SLOW_PATH_WARNED or n < 100_000:
+        return
+    _SLOW_PATH_WARNED = True
+    import sys
+
+    print(
+        "glimmer_mg_tpu: note: %s; this %.2f Mbp sequence takes the slow "
+        "host path (Python ORF scoring%s) instead of the all-native engine"
+        % (reason, n / 1e6, "" if _use_native_available() else " + Python DP"),
+        file=sys.stderr,
+    )
+
+
+def _use_native_available() -> bool:
+    try:
+        from .. import native as native_mod
+
+        return native_mod.available()
+    except Exception:
+        return False
+
+
 def predict_sequence(models: Models, seq: str, ignore_regions=None,
                      detail_fp=None):
     """Run the full per-sequence pipeline; returns traced genes."""
@@ -600,6 +631,16 @@ def predict_sequence(models: Models, seq: str, ignore_regions=None,
             return native_mod.g3_full(models, seq_idx)
         except native_mod.NativeUnavailable:
             pass
+
+    if not _use_native_g3(models):
+        if models.circular:
+            _warn_slow_path("circular mode", n)
+        else:
+            _warn_slow_path("native engine unavailable", n)
+    elif detail_fp is not None:
+        _warn_slow_path("--detail output requested", n)
+    elif ignore_regions is not None:
+        _warn_slow_path("ignore regions (-i) requested", n)
 
     masks = np.array([1, 2, 4, 8], dtype=np.uint8)[seq_idx]
 

@@ -896,6 +896,9 @@ def run_glimmer_mg_classes(
         ]
 
     use_device = _use_device_precompute(device_precompute)
+    # Evaluate once per run: _dispatch/_consume must agree on the engine
+    # pipelining mode even if GLIMMER_MG_TPU_OVERLAP changes mid-flight.
+    overlap = _overlap_engine()
     chunk_size = int(os.environ.get("GLIMMER_MG_TPU_CHUNK", "2048"))
     pending: list = []  # (header, seq_idx or None, models, quals, have_qual)
     inflight: list = []  # at most one (chunk, engine-future) in flight
@@ -924,7 +927,7 @@ def run_glimmer_mg_classes(
         fut = (
             device_frame_scores_dispatch(jobs) if (use_device and jobs) else None
         )
-        if _overlap_engine():
+        if overlap:
             inflight.append(
                 (chunk, _engine_pool().submit(_run_chunk, chunk, fut))
             )
@@ -933,7 +936,7 @@ def run_glimmer_mg_classes(
 
     def _consume():
         chunk, efut = inflight.pop(0)
-        if _overlap_engine():
+        if overlap:
             fs_list, native_results = efut.result()
         else:
             fs_list, native_results = _run_chunk(chunk, efut)

@@ -500,7 +500,7 @@ def predict_batch(jobs, *, allow_indels=False, allow_subs=False,
     keep = []
     cjobs = (CReadJob * n)()
     fast = all(
-        j[1] is None and j[3] is None
+        j[1] is None and not j[2] and j[3] is None
         and isinstance(j[0], np.ndarray) and j[0].dtype == np.int8
         and j[0].flags.c_contiguous
         for j in jobs

@@ -606,6 +606,17 @@ static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
 }
 #endif
 
+// The register-LUT builders read level-1 nodes (ids 1..4) whenever
+// depth >= 2 and level-2 nodes (ids 5..20) whenever depth >= 3 without
+// per-node bounds checks; a well-formed complete tree always has them
+// (num_nodes = (4^(depth+1)-1)/3), but a truncated/malformed model file
+// could declare depth >= 2 with fewer nodes, so gate the vector dispatch.
+static bool lut_levels_present(const NativeIcm& M) {
+  if (M.depth >= 3) return M.num_nodes >= 21;
+  if (M.depth >= 2) return M.num_nodes >= 5;
+  return M.num_nodes >= 1;
+}
+
 // Per-base probs for one fixed frame over the whole string: blocked,
 // branchless walks so 16 independent tree descents are in flight at once
 // (the walk is a chain of dependent L2 loads; ILP across positions hides
@@ -613,7 +624,8 @@ static void pwm_lut_pass(const double lut[4], const int8_t* sptr, int nw,
 // stop condition, so the lockstep loop is exactly the scalar early-break.
 static void icm_frame_probs(const NativeIcm& M, const int8_t* s, int n, int f,
                             float* out, const int32_t* ctx_pre = nullptr) {
-  if (cpu_avx512() && M.model_len - 1 <= CTX_W && n >= 64) {
+  if (cpu_avx512() && M.model_len - 1 <= CTX_W && n >= 64 &&
+      lut_levels_present(M)) {
     icm_probs_avx512(M, s, n, f, /*cycle=*/false, out, ctx_pre);
     return;
   }
@@ -649,7 +661,8 @@ static void icm_frame_probs_pair(const NativeIcm& G, const NativeIcm& I,
                                  float* outG, float* outI,
                                  const int32_t* ctx) {
   if (cpu_avx512() && n >= 64 && G.model_len - 1 <= CTX_W && G.depth >= 2 &&
-      I.model_len - 1 <= CTX_W && I.depth <= 2 && I.num_nodes <= 21) {
+      lut_levels_present(G) && I.model_len - 1 <= CTX_W && I.depth <= 2 &&
+      I.num_nodes <= 21 && lut_levels_present(I)) {
     icm_pair_fixed_avx512(G, I, s, n, gf, nf, outG, outI, ctx);
     return;
   }
@@ -2261,7 +2274,8 @@ int64_t gmg_predict_batch(const ReadJob* jobs, int32_t n_jobs,
 // frame advances per base from frame0; partial windows at the buffer head).
 static void icm_cycle_probs(const NativeIcm& M, const int8_t* s, int64_t n,
                             int frame0, float* out) {
-  if (cpu_avx512() && M.model_len - 1 <= CTX_W && n >= 64) {
+  if (cpu_avx512() && M.model_len - 1 <= CTX_W && n >= 64 &&
+      lut_levels_present(M)) {
     icm_probs_avx512(M, s, n, frame0, /*cycle=*/true, out);
     return;
   }
