@@ -187,6 +187,21 @@ def _timed_runs(fn, n=4):
     return out, times
 
 
+def _median(xs):
+    a = sorted(xs)
+    m = len(a) // 2
+    return a[m] if len(a) % 2 else 0.5 * (a[m - 1] + a[m])
+
+
+def _med_mad(times):
+    """Median and median-absolute-deviation (VERDICT r3 task 9: the
+    published number is the median; best-of-N and the spread ride in
+    detail)."""
+    med = _median(times)
+    mad = _median([abs(x - med) for x in times])
+    return med, mad
+
+
 def bench_reads_per_s():
     """End-to-end glimmer-mg classification-mode prediction throughput.
 
@@ -231,8 +246,9 @@ def bench_reads_per_s():
     run(reads, False)
     cold_s = time.time() - t0
 
-    results, times = _timed_runs(lambda: run(reads, False))
+    results, times = _timed_runs(lambda: run(reads, False), n=5)
     best = min(times)
+    med, mad = _med_mad(times)
     n_genes = sum(len(g) for _h, g in results)
 
     # chunk-size sensitivity (reference streams 500k-read chunks,
@@ -266,7 +282,11 @@ def bench_reads_per_s():
     except Exception as e:  # pragma: no cover
         dev_detail = {"error": str(e)[:200]}
 
-    value = len(reads) / best
+    # The published value is the MEDIAN of 5 runs (best-of-N on this noisy
+    # 2-core rig overstated r3 by ~15%; VERDICT r3 task 9). The reference
+    # baseline was measured best-of-4, which favors the reference — so the
+    # ratio below is conservative.
+    value = len(reads) / med
     out = {
         "metric": "glimmer_mg_reads_per_s",
         "value": round(value, 1),
@@ -277,15 +297,18 @@ def bench_reads_per_s():
             "genes": n_genes,
             "engine": "native" if native.available() else "python",
             "threads": native.default_threads(),
+            "median_s": round(med, 3),
+            "mad_s": round(mad, 3),
             "best_s": round(best, 3),
+            "reads_per_s_best": round(len(reads) / best, 1),
             "runs_s": [round(x, 3) for x in times],
             "cold_s": round(cold_s, 1),
             "db_build_s": round(db_s, 1),
             "reads_per_s_by_chunk": chunk_s,
             "device_config": dev_detail,
             "reference_reads_per_s": REFERENCE_READS_PER_S,
-            "note": "r2->r3: reads 999->50000 (tiled), best_s >= 2s, "
-                    "spread + chunk sensitivity + device config added",
+            "note": "r4: value = median of 5 runs (was best-of-4); "
+                    "reference baseline remains best-of-4 (conservative)",
         },
     }
     print(json.dumps(out), flush=True)
@@ -359,7 +382,15 @@ def _kernel_rows():
 
 
 def _device_config_row():
-    """Child-process half of the device-configuration measurement."""
+    """Child-process half of the device-configuration measurement.
+
+    Also the REAL-CHIP parity verification (VERDICT r3 task 5): the device
+    run's .predict text is byte-diffed against the host-walk run's on this
+    hardware (the interpret-mode Pallas tests prove the semantics; this
+    proves the Mosaic-compiled tables), and one compiled (non-interpret)
+    shard_map Pallas classification runs on a 1-device mesh and is checked
+    against the unsharded kernel.
+    """
     from glimmer_mg_tpu import bench_db
     from glimmer_mg_tpu.engine import glimmer_mg as mg
     from glimmer_mg_tpu.io.genome_data import GenomeData
@@ -373,19 +404,69 @@ def _device_config_row():
         parts = line.split()
         cls_map[parts[0]] = parts[1:]
 
-    def run():
+    def run(device):
         return list(mg.run_glimmer_mg_classes(reads1k, gd, cls_map,
-                                              device_precompute=True))
+                                              device_precompute=device))
 
-    run()  # compile + warm
-    _res, t_d = _timed_runs(run, n=2)
+    run(True)  # compile + warm
+    res_d, t_d = _timed_runs(lambda: run(True), n=2)
+    res_h = run(False)
+    parity = (mg.format_predict_mg(res_d) == mg.format_predict_mg(res_h))
+
+    sharded_ok = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from glimmer_mg_tpu.ops.icm_pallas import pack_tables
+        from glimmer_mg_tpu.parallel.classify import (
+            classify_step_pallas, classify_step_pallas_sharded)
+
+        mip, probs, reads, lengths = build_inputs(n_models=4, batch=64)
+        tabs = pack_tables(mip, probs)
+        mesh = jax.make_mesh((1, 1), ("data", "model"))
+        s_sh, _ = classify_step_pallas_sharded(
+            mesh, *tabs, jnp.asarray(reads), jnp.asarray(lengths),
+            12, 7, interpret=False)
+        s_un, _ = classify_step_pallas(*tabs, jnp.asarray(reads),
+                                       jnp.asarray(lengths), 12, 7)
+        sharded_ok = bool(
+            np.array_equal(np.asarray(jax.device_get(s_sh)),
+                           np.asarray(jax.device_get(s_un))))
+    except Exception as e:  # pragma: no cover
+        sharded_ok = f"error: {str(e)[:160]}"
+
     print(json.dumps({
         "reads": len(reads1k),
         "reads_per_s": round(len(reads1k) / min(t_d), 1),
         "runs_s": [round(x, 3) for x in t_d],
         "engine": "native+device",
+        "parity": parity,
+        "sharded_pallas_compiled": sharded_ok,
         "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
                 "host walk ~10us/read wins on this rig (COMPONENTS.md)",
+    }), flush=True)
+
+
+def _accuracy_row():
+    """Gene-level accuracy scoreboard (VERDICT r3 task 6): full-pipeline
+    sensitivity/precision on NC_000915 fragments vs the reference's own
+    golden whole-genome calls (the only reference-endorsed gene-coordinate
+    truth that ships — map.txt carries read provenance, not gene coords,
+    and the source genomes/annotations are missing blobs). Runs on CPU: a
+    correctness row, kept off the flaky device tunnel."""
+    from glimmer_mg_tpu.pipeline import accuracy
+
+    wk = os.path.join(CACHE_DIR, "accuracy_wk")
+    out = accuracy.simulated_benchmark(
+        wk, n_reads=300, read_len=500,
+        db_root=os.path.join(CACHE_DIR, "accuracy_db"))
+    print(json.dumps({
+        "metric": "gene_accuracy",
+        "value": out["sensitivity"],
+        "unit": "sensitivity",
+        "vs_baseline": out["sensitivity"],  # fraction of perfect recall
+        "detail": out,
     }), flush=True)
 
 
@@ -425,6 +506,33 @@ def main():
                                 f"for the last healthy-tunnel kernel run)"},
         }), flush=True)
 
+    # Accuracy scoreboard in a CPU child process (correctness row; keep it
+    # independent of the device tunnel and of this process's JAX state).
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res_a = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--accuracy"],
+            timeout=int(os.environ.get("GLIMMER_BENCH_ACC_TIMEOUT", "1200")),
+            capture_output=True, text=True, env=env,
+        )
+        printed = False
+        for line in res_a.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                printed = True
+        if not printed:
+            print(json.dumps({
+                "metric": "gene_accuracy", "value": 0.0, "unit": "sensitivity",
+                "vs_baseline": 0.0,
+                "detail": {"error": "accuracy row produced no output",
+                           "stderr": res_a.stderr[-400:]},
+            }), flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "gene_accuracy", "value": 0.0, "unit": "sensitivity",
+            "vs_baseline": 0.0, "detail": {"error": "accuracy row timed out"},
+        }), flush=True)
+
     _setup_jax_cache()
     bench_glimmer3()
     bench_reads_per_s()
@@ -437,4 +545,6 @@ if __name__ == "__main__":
     if "--device-config" in sys.argv:
         _setup_jax_cache()
         sys.exit(_device_config_row())
+    if "--accuracy" in sys.argv:
+        sys.exit(_accuracy_row())
     sys.exit(main())
