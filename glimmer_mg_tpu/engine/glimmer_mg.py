@@ -247,6 +247,10 @@ def device_frame_scores_finish(fut) -> list[np.ndarray] | None:
 
 
 def _use_device_precompute(device_precompute) -> bool:
+    if _use_device_dp():
+        # chip-resident mode runs its own six-frame call inside
+        # _device_dp_chunk; no per-base LLRs are shipped to the host
+        return False
     if device_precompute is not None:
         return bool(device_precompute)
     if os.environ.get("GLIMMER_MG_TPU_HOST_PRECOMPUTE") == "1":
@@ -305,6 +309,103 @@ def _native_predict(pending_jobs, fs_list, allow_indels, allow_subs):
 
 def _use_native() -> bool:
     return os.environ.get("GLIMMER_MG_TPU_NATIVE") != "0"
+
+
+def _use_device_dp() -> bool:
+    """Chip-resident prediction (on-device ORF scan + event DP): the whole
+    per-read path runs on the accelerator and only gene calls cross the
+    link (ops.device_predict; SURVEY §7.4/§7.5). Opt-in via
+    GLIMMER_MG_TPU_DEVICE_DP=1."""
+    return os.environ.get("GLIMMER_MG_TPU_DEVICE_DP") == "1"
+
+
+_DEVICE_BANK_CACHE: dict = {}
+
+
+def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
+    """Run a chunk through the chip-resident path.
+
+    pending_jobs: [(seq_idx, models, quals, have_qual)] with models set.
+    Returns list[list[TracedGene]] or None when ineligible (error modes,
+    qualities, circular, non-uniform model scalars) — callers fall back.
+    """
+    if allow_indels or allow_subs:
+        return None
+    import jax
+
+    from ..ops import device_predict as dpk
+
+    for seq_idx, models, quals, have_qual in pending_jobs:
+        if quals is not None or have_qual or models.circular:
+            return None
+        if not models.allow_truncated_orfs:
+            return None
+
+    model_ids: dict[int, int] = {}
+    models_list = []
+    group = np.zeros(len(pending_jobs), dtype=np.int32)
+    for r, (_s, models, _q, _hq) in enumerate(pending_jobs):
+        gi = model_ids.get(id(models))
+        if gi is None:
+            gi = len(models_list)
+            model_ids[id(models)] = gi
+            models_list.append(models)
+        group[r] = gi
+
+    lengths = np.array([len(s) for s, *_ in pending_jobs], dtype=np.int32)
+    l_pad = _bucket(int(lengths.max(initial=1)))
+    b_pad = _bucket(len(pending_jobs), 64)
+
+    bank_key = tuple(sorted(model_ids)) + (l_pad,)
+    bank = _DEVICE_BANK_CACHE.get(bank_key)
+    if bank is None:
+        try:
+            bank = dpk.build_bank(models_list, max_read_len=l_pad)
+        except ValueError:
+            return None
+        _DEVICE_BANK_CACHE[bank_key] = bank
+
+    reads = np.zeros((b_pad, l_pad), dtype=np.int32)
+    for r, (seq_idx, *_rest) in enumerate(pending_jobs):
+        reads[r, : len(seq_idx)] = seq_idx
+    lens = np.zeros(b_pad, dtype=np.int32)
+    lens[: len(pending_jobs)] = np.minimum(lengths, l_pad)
+    grp = np.zeros(b_pad, dtype=np.int32)
+    grp[: len(pending_jobs)] = group
+
+    # six-frame f32 LLR tables stay on device; DP consumes them in place
+    from ..ops import icm_score
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("GLIMMER_MG_TPU_SIXFRAME") != "xla"
+    )
+    if use_pallas:
+        from ..ops import icm_pallas
+
+        gene6, ind6 = icm_pallas.mg_six_frame_pallas(
+            bank.gene_mip, bank.gene_probs, bank.indep_mip, bank.indep_probs,
+            reads, lens, grp, model_len=bank.model_len, depth=bank.depth,
+            gene_periodicity=bank.periodicity,
+            cache_key=(bank_key, "devdp"),
+        )
+    else:
+        gene6, ind6 = icm_score.mg_six_frame_batch(
+            bank.gene_mip, bank.gene_probs, bank.indep_mip, bank.indep_probs,
+            reads, lens, grp, model_len=bank.model_len, depth=bank.depth,
+            gene_periodicity=bank.periodicity,
+        )
+
+    outs = dpk.predict_batch_device(
+        bank, reads, lens, grp, gene6, ind6, cache_key=bank_key
+    )
+    genes, overflow = dpk.finish_genes(outs, len(pending_jobs))
+    for r, (seq_idx, models, quals, have_qual) in enumerate(pending_jobs):
+        if overflow[r]:
+            genes[r] = _predict_read_with_models(
+                models, seq_idx, quals, have_qual_file=have_qual
+            )
+    return genes
 
 
 def _overlap_engine() -> bool:
@@ -908,12 +1009,16 @@ def run_glimmer_mg_classes(
         any) and run the native engine.  Runs on the single engine worker
         thread; the C call releases the GIL, so the main thread keeps
         building chunk k+1's models while chunk k is predicted."""
+        jobs = [(s, m, q, hq) for _h, s, m, q, hq in chunk if m is not None]
+        if _use_device_dp() and jobs:
+            dd = _device_dp_chunk(jobs, allow_indels, allow_subs)
+            if dd is not None:
+                return None, dd
         fs_list = device_frame_scores_finish(fut) if fut is not None else None
         native_results = None
-        if _use_native() and any(m is not None for _h, _s, m, _q, _hq in chunk):
+        if _use_native() and jobs:
             native_results = _native_predict(
-                [(s, m, q, hq) for _h, s, m, q, hq in chunk if m is not None],
-                fs_list, allow_indels, allow_subs,
+                jobs, fs_list, allow_indels, allow_subs,
             )
         return fs_list, native_results
 
@@ -1234,9 +1339,18 @@ def run_glimmer_mg(
 
     def _flush():
         jobs = [(models, s) for _h, s, _q, _hq in pending]
-        fs_list = device_frame_scores(jobs) if (use_device and jobs) else None
         native_results = None
-        if _use_native() and jobs:
+        fs_list = None
+        if _use_device_dp() and jobs:
+            native_results = _device_dp_chunk(
+                [(s, models, q, hq) for _h, s, q, hq in pending],
+                allow_indels, allow_subs,
+            )
+        if native_results is None:
+            fs_list = (
+                device_frame_scores(jobs) if (use_device and jobs) else None
+            )
+        if native_results is None and _use_native() and jobs:
             native_results = _native_predict(
                 [(s, models, q, hq) for _h, s, q, hq in pending],
                 fs_list, allow_indels, allow_subs,

@@ -191,10 +191,13 @@ def build_bank(models_list, max_read_len: int) -> DeviceBank:
         # The classes-mode LengthDist is built per (classes, read-length)
         # cache entry with a single fragment distribution, so score() is a
         # pure function of (length, trunc flags); pre-evaluate it densely.
-        for L in range(t_len):
+        # Length 0 is unreachable (min candidate j gives >= 1 AA) — the
+        # default dist's merge blend would divide by zero there.
+        for L in range(1, t_len):
             len_score[gi, 0, L] = ld.score(L, False, False, max_read_len // 3)
             len_score[gi, 1, L] = ld.score(L, True, False, max_read_len // 3)
             len_score[gi, 2, L] = ld.score(L, True, True, max_read_len // 3)
+        len_score[gi, :, 0] = len_score[gi, :, 1]
         ad = m.logodds_adj_dist
         adj_or[gi] = [m.logodds_adj_or.ff, m.logodds_adj_or.fr,
                       m.logodds_adj_or.rf, m.logodds_adj_or.rr]
@@ -331,6 +334,14 @@ def _gather_guard(arr, idx, fill):
 
     ok = (idx >= 0) & (idx < arr.shape[0])
     return jnp.where(ok, arr[jnp.clip(idx, 0, arr.shape[0] - 1)], fill)
+
+
+def _gather2(arr2, row, idx, fill):
+    """arr2[row, idx] elementwise with out-of-range idx -> fill."""
+    import jax.numpy as jnp
+
+    ok = (idx >= 0) & (idx < arr2.shape[1])
+    return jnp.where(ok, arr2[row, jnp.clip(idx, 0, arr2.shape[1] - 1)], fill)
 
 
 def _read_tables(seq, n, gi, bank):
@@ -507,3 +518,905 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
         "top_j": top_j, "orf_trunc": orf_trunc, "t3": t3, "key": key,
         "stop_pos": orf_stop,
     }
+
+
+# ---------------------------------------------------------------------------
+# Start scoring: LLR prefix sums, RBS scorers, event candidates
+# ---------------------------------------------------------------------------
+
+
+def _frame_prefix_sums(gene6, ind6, n, Lp):
+    """Per-frame f64 LLR prefix sums in read coordinates.
+
+    gene6/ind6 are the six-frame kernel outputs (rows 0-2: fixed frames
+    over the REVERSED read, rows 3-5: over the COMPLEMENTED read,
+    ops.icm_score.mg_six_frame_batch). Returns (Sf (3, Lp), Sr (3, Lp))
+    where Sf[c] are inclusive prefix sums of the per-base values every
+    forward ORF in stop-class c reads (Cumulative_Frame_Score's cycling
+    f = (1+t)%3 selection, glimmer-mg.cc:561), and Sr[c] the reverse-frame
+    analogue; ORF cumulative start scores are O(1) differences of these.
+    """
+    import jax.numpy as jnp
+
+    p = jnp.arange(Lp, dtype=jnp.int32)
+    valid = p < n
+    ridx = jnp.clip(n - 1 - p, 0, Lp - 1)
+    fs_f = jnp.where(
+        valid[None, :],
+        gene6[:3, ridx].astype(jnp.float64) - ind6[:3, ridx].astype(jnp.float64),
+        0.0,
+    )
+    fs_r = jnp.where(
+        valid[None, :],
+        gene6[3:].astype(jnp.float64) - ind6[3:].astype(jnp.float64),
+        0.0,
+    )
+    c = jnp.arange(3, dtype=jnp.int32)[:, None]
+    rowf = (c + 1 - p[None, :]) % 3
+    Sf = jnp.cumsum(jnp.take_along_axis(fs_f, rowf, axis=0), axis=1)
+    rowr = (p[None, :] - c) % 3
+    Sr = jnp.cumsum(jnp.take_along_axis(fs_r, rowr, axis=0), axis=1)
+    return Sf, Sr
+
+
+def _pwm_arrays(seq, n, gi, bank, pwm_w: int):
+    """Whole-read RBS window tables (one entry per window position).
+
+    Mixture mode mirrors MetaPwmScorer._precompute (PWM_Meta_Score_*,
+    glimmer-mg.cc:1900-2060): mixf[p0] = mean over class PWMs of the
+    window probability product, gcf[p0] = GC-background log sum; the
+    per-start scorers then take log(mix) - gc over the separation window.
+    User mode mirrors PwmScorer (log-odds column sums).
+    """
+    import jax.numpy as jnp
+
+    if pwm_w == 0:
+        return None
+    Lp = seq.shape[0]
+    comp = 3 - seq
+    cols = bank["pwm_cols"][gi]  # (C, W, 4) f64
+    nm = bank["pwm_n"][gi]
+    ucols = bank["pwm_user"][gi]  # (W, 4) f64
+    gclp = bank["gc_lp"][gi]  # (4,) f64
+
+    C = cols.shape[0]
+    prod_f = jnp.ones((C, Lp), dtype=jnp.float64)
+    prod_r = jnp.ones((C, Lp), dtype=jnp.float64)
+    gcf = jnp.zeros(Lp, dtype=jnp.float64)
+    gcr = jnp.zeros(Lp, dtype=jnp.float64)
+    uf = jnp.zeros(Lp, dtype=jnp.float64)
+    ur = jnp.zeros(Lp, dtype=jnp.float64)
+    for j in range(pwm_w):
+        sj = _shift_left(seq, j, 0)
+        cj = _shift_left(comp, pwm_w - 1 - j, 0)
+        prod_f = prod_f * cols[:, j, sj]
+        prod_r = prod_r * cols[:, j, cj]
+        gcf = gcf + gclp[sj]
+        gcr = gcr + gclp[cj]
+        uf = uf + ucols[j, sj]
+        ur = ur + ucols[j, cj]
+    cmask = (jnp.arange(C) < nm)[:, None]
+    denom = jnp.maximum(nm, 1).astype(jnp.float64)
+    mixf = jnp.sum(jnp.where(cmask, prod_f, 0.0), axis=0) / denom
+    mixr = jnp.sum(jnp.where(cmask, prod_r, 0.0), axis=0) / denom
+    return {
+        "mixf": mixf, "mixr": mixr, "gcf": gcf, "gcr": gcr,
+        "uf": uf, "ur": ur,
+        "is_user": bank["pwm_is_user"][gi], "has_mix": nm > 0,
+    }
+
+
+def _pwm_fwd(pw, pos, n, ws: int, W: int):
+    """(pwm_score, sep) of a forward start at 1-based position ``pos``.
+
+    Separation window scan with the reference's strict-> first-max rule
+    (smallest separation wins ties)."""
+    import jax.numpy as jnp
+
+    if pw is None:
+        z = jnp.zeros_like(pos, dtype=jnp.float64)
+        return z, jnp.zeros_like(pos)
+    best = jnp.full(pos.shape, -jnp.inf, dtype=jnp.float64)
+    bsep = jnp.zeros_like(pos)
+    any_mode = pw["is_user"] | pw["has_mix"]
+    for s in range(ws - W + 1):
+        lo_w = pos - W - 1 - s
+        ok = (lo_w >= 0) & any_mode
+        lw = jnp.clip(lo_w, 0, pw["mixf"].shape[0] - 1)
+        sc = jnp.where(
+            pw["is_user"], pw["uf"][lw], jnp.log(pw["mixf"][lw]) - pw["gcf"][lw]
+        )
+        take = ok & (sc > best)
+        best = jnp.where(take, sc, best)
+        bsep = jnp.where(take, s, bsep)
+    none = ~jnp.isfinite(best)
+    # user mode returns (0,0) when no window fits; the mixture scorer
+    # leaves -inf (add_pwm_score then skips it) — mirror both
+    best = jnp.where(none & pw["is_user"], 0.0, best)
+    bsep = jnp.where(none, 0, bsep)
+    return best, bsep
+
+
+def _pwm_rev(pw, pos, n, ws: int, W: int):
+    import jax.numpy as jnp
+
+    if pw is None:
+        z = jnp.zeros_like(pos, dtype=jnp.float64)
+        return z, jnp.zeros_like(pos)
+    best = jnp.full(pos.shape, -jnp.inf, dtype=jnp.float64)
+    bsep = jnp.zeros_like(pos)
+    any_mode = pw["is_user"] | pw["has_mix"]
+    for s in range(ws - W + 1):
+        hi = pos - 1 + W + s
+        k = hi - (W - 1)
+        ok = (hi < n) & any_mode
+        kw = jnp.clip(k, 0, pw["mixr"].shape[0] - 1)
+        sc = jnp.where(
+            pw["is_user"], pw["ur"][kw], jnp.log(pw["mixr"][kw]) - pw["gcr"][kw]
+        )
+        take = ok & (sc > best)
+        best = jnp.where(take, sc, best)
+        bsep = jnp.where(take, s, bsep)
+    none = ~jnp.isfinite(best)
+    best = jnp.where(none & pw["is_user"], 0.0, best)
+    bsep = jnp.where(none, 0, bsep)
+    return best, bsep
+
+
+def _add_pwm(score, pwm, sep):
+    """Add_Events' separation-weighted RBS boost (glimmer_base.cc:267-295)."""
+    import jax.numpy as jnp
+
+    LO_SEP, HI_SEP, HI_TAIL = 4, 10, 6
+    coeff = jnp.where(
+        sep < LO_SEP,
+        sep.astype(jnp.float64) / LO_SEP,
+        jnp.where(
+            sep <= HI_SEP,
+            1.0,
+            jnp.where(
+                sep < HI_SEP + HI_TAIL,
+                (HI_SEP + HI_TAIL - sep).astype(jnp.float64) / HI_TAIL,
+                0.0,
+            ),
+        ),
+    )
+    add = (pwm >= 0.0) & (coeff > 0.0)
+    return jnp.where(add, score + coeff * pwm, score)
+
+
+# ---------------------------------------------------------------------------
+# Event candidate construction (Add_Events semantics, array form)
+# ---------------------------------------------------------------------------
+
+# Event type codes — match engine.events (INITIAL=0 .. TERMINAL=5)
+E_FWD_START, E_FWD_STOP, E_REV_START, E_REV_STOP = 1, 2, 3, 4
+
+
+def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
+    """Forward-strand start-event candidates.
+
+    Two families: one per read position q (the start codon's first base;
+    every position belongs to exactly one forward stop-class chain) and
+    one 'truncated first start' per forward-ORF slot (the unconditional
+    top-of-ORF start of Score_Orf_Starts when the ORF is 5'-truncated,
+    glimmer-mg.cc:1769-1800). Returns per-candidate event fields plus the
+    per-ORF aggregates (best raw score, any-event) for the gates.
+    """
+    import jax.numpy as jnp
+
+    min_gene_len, ws, W = consts["min_gene_len"], consts["ws"], consts["W"]
+    min_j = max(min(3, min_gene_len - 3), min_gene_len - 3)
+    ev_thresh = consts["event_threshold"]
+
+    q = jnp.arange(Lp, dtype=jnp.int32)
+    c = (q + 2) % 3  # stop-subscript class of this position's chain
+    i_next = _gather_guard(t["nstop_f"], q + 5, BIG)
+    ivirt = n + (q + 2 - n) % 3
+    iS = jnp.minimum(i_next, ivirt)
+    slot = jnp.where(iS >= n, Lp + (iS - n), iS)
+
+    emit = fw["emit"][slot]
+    lo = fw["lo"][slot]
+    hi = fw["hi"][slot]
+    mm = fw["mm"][slot]
+    top_j = fw["top_j"][slot]
+    orf_trunc = fw["orf_trunc"][slot]
+    t3 = fw["t3"][slot]
+
+    j = hi - 3 - q
+    hit2 = _shift_left(t["is_fwd_start"], 2, False)
+    which2 = _shift_left(t["which_fwd"], 2, -1)
+    std_valid = (
+        emit & (q >= lo) & (j >= min_j) & (j <= top_j) & hit2[q]
+    )
+    which = which2[q]
+
+    def raw_of(jv, hiv, cv):
+        a = _gather2(Sf, cv, hiv - 1, 0.0)
+        b = _gather2(Sf, cv, hiv - 1 - jv, 0.0)
+        return a - b
+
+    raw = raw_of(j, hi, c)
+    sj = j + 2
+    boost = sj > bank["ignore_score_len"][gi]
+    raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
+
+    pos = q + 3  # 1-based event position (kk + 2)
+    pwm, sep = _pwm_fwd(pw, pos - 2, n, ws, W)  # scorer takes start pos kk
+    score = raw + bank["prior"][gi].astype(jnp.float64)
+    score = _add_pwm(score, pwm, sep)
+    start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
+    score = jnp.where(which >= 0, score + start_sel, score)
+    len_row = jnp.where(t3, 1, 0)  # std entries: t5 = False
+    len_idx = jnp.clip(j // 3 + 1, 0, bank["len_score"].shape[2] - 1)
+    score = score + bank["len_score"][gi][len_row, len_idx]
+    std_pass = std_valid & (score > ev_thresh)
+
+    # --- truncated first-start entries (one per fwd-ORF slot) ---
+    s_emit = fw["emit"]
+    s_lo, s_hi, s_mm, s_top = fw["lo"], fw["hi"], fw["mm"], fw["top_j"]
+    s_trunc, s_t3 = fw["orf_trunc"], fw["t3"]
+    tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
+    q_t = s_hi - 3 - s_top
+    cS = fw["iS"] % 3
+    raw_t = raw_of(s_top, s_hi, cS)
+    boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
+    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
+    pos_t = q_t + 3
+    pwm_t, sep_t = _pwm_fwd(pw, pos_t - 2, n, ws, W)
+    score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
+    score_t = _add_pwm(score_t, pwm_t, sep_t)
+    len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
+    score_t = score_t + bank["len_score"][gi][jnp.where(s_t3, 2, 1), len_idx_t]
+    tr_pass = tr_valid & (score_t > ev_thresh)
+
+    # --- dedup at the shared position (truncated entry iterates first;
+    # the std entry replaces it only with a strictly greater score) ---
+    std_at_qt = _gather_guard(std_pass, q_t, False)
+    std_score_qt = _gather_guard(score, q_t, -np.inf)
+    tr_final = tr_pass & ~(std_at_qt & (std_score_qt > score_t))
+    kill = jnp.zeros(Lp, dtype=bool).at[jnp.clip(q_t, 0, Lp - 1)].max(
+        tr_pass & (std_score_qt <= score_t)
+    )
+    std_final = std_pass & ~kill[q]
+
+    # --- per-ORF aggregates over the start_list (host score_orfs_errors:
+    # best RAW score over every generated start, post-boost) ---
+    n_slots = Lp + 3
+    best_raw = jnp.full(n_slots, -jnp.inf).at[slot].max(
+        jnp.where(std_valid, raw, -jnp.inf)
+    )
+    best_raw = jnp.maximum(best_raw, jnp.where(tr_valid, raw_t, -jnp.inf))
+    any_ev = jnp.zeros(n_slots, dtype=bool).at[slot].max(std_final)
+    any_ev = any_ev | tr_final
+
+    std = {
+        "valid": std_final, "pos": pos, "score": score, "slot": slot,
+        "trunc": jnp.zeros(Lp, dtype=bool), "sub": (c + 1) % 3,
+    }
+    tr = {
+        "valid": tr_final, "pos": pos_t, "score": score_t,
+        "slot": jnp.arange(n_slots, dtype=jnp.int32),
+        "trunc": jnp.ones(n_slots, dtype=bool), "sub": (cS + 1) % 3,
+    }
+    return std, tr, best_raw, any_ev
+
+
+def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
+    """Reverse-strand start-event candidates (mirror of the forward case;
+    candidate index u = the genome codon's LAST base of a reverse start)."""
+    import jax.numpy as jnp
+
+    min_gene_len, ws, W = consts["min_gene_len"], consts["ws"], consts["W"]
+    min_j = max(min(3, min_gene_len - 3), min_gene_len - 3)
+    ev_thresh = consts["event_threshold"]
+
+    u = jnp.arange(Lp, dtype=jnp.int32)
+    c = u % 3
+    i_close = _gather_guard(t["nstop_r"], u + 3, BIG)
+    slot = jnp.where(i_close < BIG // 2, i_close, Lp + c)
+
+    emit = rv["emit"][slot]
+    lo = rv["lo"][slot]
+    hi = rv["hi"][slot]
+    top_j = rv["top_j"][slot]
+    t3 = rv["t3"][slot]
+
+    j = u - lo - 1
+    std_valid = (
+        emit & t["is_rev_start"][u] & (j >= min_j) & (j <= top_j)
+        & (u <= hi - 2)
+    )
+    which = t["which_rev"][u]
+
+    def raw_of(jv, lov, cv):
+        a = _gather2(Sr, cv, lov - 2 + jv, 0.0)
+        b = jnp.where(lov >= 2, _gather2(Sr, cv, lov - 2, 0.0), 0.0)
+        return a - b
+
+    raw = raw_of(j, lo, c)
+    boost = (j + 2) > bank["ignore_score_len"][gi]
+    raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
+
+    pos = u + 1  # REV_START event position = kk
+    pwm, sep = _pwm_rev(pw, pos, n, ws, W)
+    score = raw + bank["prior"][gi].astype(jnp.float64)
+    score = _add_pwm(score, pwm, sep)
+    start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
+    score = jnp.where(which >= 0, score + start_sel, score)
+    len_row = jnp.where(t3, 1, 0)
+    len_idx = jnp.clip(j // 3 + 1, 0, bank["len_score"].shape[2] - 1)
+    score = score + bank["len_score"][gi][len_row, len_idx]
+    std_pass = std_valid & (score > ev_thresh)
+
+    s_emit, s_lo, s_hi = rv["emit"], rv["lo"], rv["hi"]
+    s_mm, s_top = rv["mm"], rv["top_j"]
+    s_trunc, s_t3 = rv["orf_trunc"], rv["t3"]
+    tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
+    u_t = s_lo + s_top + 1
+    cS = (s_lo + 1) % 3  # the ORF's stop-subscript class (lo == cu+2 mod 3)
+    raw_t = raw_of(s_top, s_lo, cS)
+    boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
+    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
+    pos_t = u_t + 1
+    pwm_t, sep_t = _pwm_rev(pw, pos_t, n, ws, W)
+    score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
+    score_t = _add_pwm(score_t, pwm_t, sep_t)
+    len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
+    score_t = score_t + bank["len_score"][gi][jnp.where(s_t3, 2, 1), len_idx_t]
+    tr_pass = tr_valid & (score_t > ev_thresh)
+
+    std_at_ut = _gather_guard(std_pass, u_t, False)
+    std_score_ut = _gather_guard(score, u_t, -np.inf)
+    tr_final = tr_pass & ~(std_at_ut & (std_score_ut > score_t))
+    kill = jnp.zeros(Lp, dtype=bool).at[jnp.clip(u_t, 0, Lp - 1)].max(
+        tr_pass & (std_score_ut <= score_t)
+    )
+    std_final = std_pass & ~kill[u]
+
+    n_slots = Lp + 3
+    best_raw = jnp.full(n_slots, -jnp.inf).at[slot].max(
+        jnp.where(std_valid, raw, -jnp.inf)
+    )
+    best_raw = jnp.maximum(best_raw, jnp.where(tr_valid, raw_t, -jnp.inf))
+    any_ev = jnp.zeros(n_slots, dtype=bool).at[slot].max(std_final)
+    any_ev = any_ev | tr_final
+
+    std = {
+        "valid": std_final, "pos": pos, "score": score, "slot": slot,
+        "trunc": jnp.zeros(Lp, dtype=bool), "sub": 3 + (c + 1) % 3,
+    }
+    # end-slot frame class: real slots use iC%3, end slots their f
+    idx = jnp.arange(n_slots, dtype=jnp.int32)
+    cslot = jnp.where(idx < Lp, idx % 3, idx - Lp)
+    tr = {
+        "valid": tr_final, "pos": pos_t, "score": score_t,
+        "slot": idx, "trunc": jnp.ones(n_slots, dtype=bool),
+        "sub": 3 + (cslot + 1) % 3,
+    }
+    return std, tr, best_raw, any_ev
+
+
+# ---------------------------------------------------------------------------
+# Event assembly + the DP (Process_Events, array form)
+# ---------------------------------------------------------------------------
+
+
+def _assign_ids(fw, rv, evprod_f, evprod_r, Lp):
+    """Event-set ids: rank of each event-producing ORF in the reference's
+    ORF processing order (ids appear in the .predict orfNNNNN column)."""
+    import jax.numpy as jnp
+
+    nk = 2 * Lp + 16
+    keyarr = jnp.zeros(nk, dtype=jnp.int32)
+    keyarr = keyarr.at[fw["key"]].add(evprod_f.astype(jnp.int32))
+    keyarr = keyarr.at[rv["key"]].add(evprod_r.astype(jnp.int32))
+    ranks = jnp.cumsum(keyarr)
+    return ranks[fw["key"]], ranks[rv["key"]]
+
+
+def _assemble_events(fam, Lp):
+    """Sort candidate families into the padded per-read event tensor.
+
+    ``fam``: list of dicts with valid/pos/score/sub/typ/id/trunc arrays.
+    Stable order: position, then family enumeration order (empirically
+    equivalent to the reference's introsort order — the host engine run
+    with a stable position sort is coordinate-identical on the sample;
+    see tests/test_device_predict.py).
+    """
+    import jax.numpy as jnp
+
+    def cat(key):
+        return jnp.concatenate([f[key] for f in fam])
+
+    valid = cat("valid")
+    pos = cat("pos").astype(jnp.int32)
+    k = valid.shape[0]
+    rank = jnp.arange(k, dtype=jnp.int32)
+    sort_key = jnp.where(valid, pos * 8192 + rank, jnp.int32(2**30))
+    order = jnp.argsort(sort_key)[:MAX_EVENTS]
+
+    ev = {
+        "pos": pos[order],
+        "typ": jnp.where(valid[order], cat("typ").astype(jnp.int32)[order], 0),
+        "sub": cat("sub").astype(jnp.int32)[order],
+        "id": cat("id").astype(jnp.int32)[order],
+        "score": cat("score")[order],
+        "trunc": cat("trunc")[order],
+    }
+    n_events = jnp.sum(valid.astype(jnp.int32))
+    return ev, n_events
+
+
+def _adj_pair(bank, gi, max_olap, t1, succ_is_fstart, dist):
+    """(AdjOr, AdjDist) f32 pieces for predecessor type(s) t1 and
+    successor FWD_START-ness (gene.cc:733-770, 798-925; unsigned-index
+    wrap -> .back() saturation mirrored)."""
+    import jax.numpy as jnp
+
+    ao = bank["adj_or"][gi]  # [ff, fr, rf, rr] f32
+    is_c2 = t1 == E_FWD_STOP
+    is_c3 = t1 == E_REV_START
+    or_s = jnp.where(
+        is_c2,
+        jnp.where(succ_is_fstart, ao[0], ao[1]),
+        jnp.where(is_c3, jnp.where(succ_is_fstart, ao[2], ao[3]), F32(0.0)),
+    )
+    ti = jnp.where(
+        is_c2,
+        jnp.where(succ_is_fstart, 0, 1),
+        jnp.where(succ_is_fstart, 2, 0),  # REV_START->REV_STOP reuses ff
+    )
+    tab = bank["adj_dist"][gi]  # (3, D) f32
+    dl = bank["adj_dist_len"][gi][ti]
+    idx = dist + max_olap
+    ok = (idx >= 0) & (idx < dl)
+    val = jnp.where(
+        ok,
+        tab[ti, jnp.clip(idx, 0, tab.shape[1] - 1)],
+        tab[ti, jnp.clip(dl - 1, 0, tab.shape[1] - 1)],
+    )
+    di_s = jnp.where(is_c2 | is_c3, val, F32(0.0))
+    return or_s, di_s
+
+
+def _event_dp(ev, gi, bank, consts):
+    """The event-graph DP: Process_Events + Process_*_Event semantics over
+    index-ordered event arrays. Frame chains are implicit (events of frame
+    f in processing order = ascending index), best_event[f] is an index,
+    and the bounded-overlap re-linking is applied as vectorized masked
+    updates (proven order-independent within one closure: re-link targets
+    are openers, propagation targets are closers, and the sets are
+    disjoint). f32 candidate comparisons mirror the reference's
+    `float this_score, max_score` declarations."""
+    import jax
+    import jax.numpy as jnp
+
+    E = ev["pos"].shape[0]
+    pos, typ, sub, eid = ev["pos"], ev["typ"], ev["sub"], ev["id"]
+    max_olap = consts["max_olap"]
+    je = jnp.arange(E, dtype=jnp.int32)
+
+    def adj_to(e_idx, pred_typ, pred_pos):
+        """Candidate adjacency pieces: pred (vector) -> event e (scalar)."""
+        succ_fs = typ[e_idx] == E_FWD_START
+        dist = pos[e_idx] - pred_pos - 3
+        return _adj_pair(bank, gi, max_olap, pred_typ, succ_fs, dist)
+
+    def opener(e, st):
+        score, bp, disq, best = st
+        processed = je < e
+        or_s, di_s = adj_to(e, typ, pos)
+        cand_f32 = (
+            score + or_s.astype(jnp.float64) + di_s.astype(jnp.float64)
+        ).astype(jnp.float32)
+
+        best_of_sub = best[sub]
+        between = (
+            processed
+            & ((typ == E_FWD_STOP) | (typ == E_REV_START))
+            & (score > 0.0)
+            & (je > best_of_sub)
+        )
+        rank_btw = (sub + 1) * (2 * E) + (E - je)
+
+        # best_event extras per frame: the FWD_STOP best itself, or the
+        # maximal REV_START suffix run ending at the best (1609-1703).
+        extra = jnp.zeros(E, dtype=bool)
+        extra_init_score = jnp.full(6, -jnp.inf, dtype=jnp.float32)
+        for i in range(6):
+            bei = best[i]
+            has = bei >= 0
+            btyp = jnp.where(has, typ[jnp.clip(bei, 0)], -1)
+            k_mask = processed & (sub == i) & (je <= bei)
+            m_i = jnp.max(
+                jnp.where(k_mask & (typ != E_REV_START), je, -1)
+            )
+            fr_extra = jnp.where(
+                btyp == E_FWD_STOP,
+                je == bei,
+                jnp.where(
+                    btyp == E_REV_START, k_mask & (je > m_i), False
+                ),
+            )
+            extra = extra | fr_extra
+            extra_init_score = extra_init_score.at[i].set(
+                jnp.where(has, -jnp.inf, jnp.float32(0.0))
+            )
+        rank_ext = (sub + 1) * (2 * E) + E + (E - je)
+
+        cand_mask = between | extra
+        rank = jnp.where(between, rank_btw, rank_ext)
+
+        b0 = best[0]
+        init_score = jnp.where(
+            b0 >= 0, cand_f32[jnp.clip(b0, 0)], jnp.float32(0.0)
+        )
+        init_idx = b0  # -1 when INITIAL
+
+        scores_all = jnp.concatenate(
+            [jnp.where(cand_mask, cand_f32, -jnp.inf),
+             init_score[None], extra_init_score]
+        )
+        ranks_all = jnp.concatenate(
+            [rank, jnp.zeros(1, jnp.int32),
+             (jnp.arange(6, dtype=jnp.int32) + 1) * (2 * E) + E]
+        )
+        idx_all = jnp.concatenate(
+            [je, init_idx[None], jnp.full(6, -1, jnp.int32)]
+        )
+        m = jnp.max(scores_all)
+        winner_rank = jnp.min(jnp.where(scores_all == m, ranks_all, BIG))
+        w = jnp.argmax((scores_all == m) & (ranks_all == winner_rank))
+        winner = idx_all[w]
+
+        score = score.at[e].add(m.astype(jnp.float64))
+        bp = bp.at[e].set(winner)
+        return score, bp, disq, best
+
+    def walk_set(disq, bp, q0, cutoff, value):
+        # Disqualify/Requalify chain walk (glimmer_base.cc:437-458,
+        # 2463-2480). Bounded at E iterations: the best_pred graph is
+        # acyclic (forward re-link hops are < max_olap, closer->opener
+        # hops are >= min_gene_len backward), so a correct walk visits
+        # < E nodes; the bound keeps a semantics bug from becoming a hang.
+        def cond(c):
+            q, _d, it = c
+            return (q >= 0) & (_gather_guard(pos, q, -BIG) >= cutoff) & (
+                it < E
+            )
+
+        def body(c):
+            q, d, it = c
+            d = d.at[jnp.clip(q, 0)].set(value)
+            return bp[jnp.clip(q, 0)], d, it + 1
+
+        _q, disq, _it = jax.lax.while_loop(
+            cond, body, (q0, disq, jnp.int32(0))
+        )
+        return disq
+
+    def closure(e, p_disq, st):
+        score, bp, disq, best = st
+        f = sub[e]
+        be = best[f]
+        be_s = jnp.where(be >= 0, score[jnp.clip(be, 0)], 0.0)
+
+        def do_close(st2):
+            score, bp, disq, best = st2
+            cutoff = 3 + pos[e] - max_olap
+            q0 = jnp.where(p_disq >= 0, bp[jnp.clip(p_disq, 0)], -1)
+            disq = walk_set(disq, bp, q0, cutoff, True)
+            best = best.at[f].set(e)
+
+            processed = je < e
+            window = processed & (3 + pos[e] - pos <= max_olap)
+            opener_m = (typ == E_FWD_START) | (typ == E_REV_STOP)
+            bpj = bp
+            bpj_c = jnp.clip(bpj, 0)
+            needed = jnp.where(bpj >= 0, score[bpj_c], 0.0)
+            cand = window & ~disq & opener_m & (needed < score[e])
+
+            # old adjacency: (p.best_pred -> p); INITIAL pred -> 0
+            succ_fs = typ == E_FWD_START
+            bp_typ = jnp.where(bpj >= 0, typ[bpj_c], 0)
+            oo, od = _adj_pair(
+                bank, gi, max_olap, bp_typ, succ_fs, pos - pos[bpj_c] - 3
+            )
+            old_adj = jnp.where(bpj >= 0, oo + od, jnp.float32(0.0))
+            no_, nd = _adj_pair(
+                bank, gi, max_olap,
+                jnp.full(E, typ[e], jnp.int32), succ_fs, pos - pos[e] - 3
+            )
+            new_adj = no_ + nd
+            diff = (score[e] - needed) + (new_adj - old_adj).astype(
+                jnp.float64
+            )
+            upd = cand & (diff > 0.0)
+            prop = (
+                processed
+                & (bpj >= 0)
+                & upd[bpj_c]
+                & (sub == sub[bpj_c])
+                & (je > bpj)
+            )
+            delta = jnp.where(upd, diff, 0.0) + jnp.where(
+                prop, diff[bpj_c], 0.0
+            )
+            score = score + delta
+            bp = jnp.where(upd, e, bp)
+
+            q0b = jnp.where(p_disq >= 0, bp[jnp.clip(p_disq, 0)], -1)
+            disq = walk_set(disq, bp, q0b, cutoff, False)
+            return score, bp, disq, best
+
+        return jax.lax.cond(be_s < score[e], do_close, lambda s: s,
+                            (score, bp, disq, best))
+
+    def fwd_stop(e, st):
+        score, bp, disq, best = st
+        processed = je < e
+        cand = processed & (sub == sub[e]) & (eid == eid[e])
+        m = jnp.max(jnp.where(cand, score, -jnp.inf))
+        winner = jnp.max(jnp.where(cand & (score == m), je, -1))
+        score = score.at[e].set(m)
+        bp = bp.at[e].set(winner)
+        return closure(e, jnp.int32(-1), (score, bp, disq, best))
+
+    def rev_start(e, st):
+        score, bp, disq, best = st
+        processed = je < e
+        cand = (
+            processed & (sub == sub[e]) & (typ != E_REV_START)
+            & (eid == eid[e])
+        )
+        p = jnp.max(jnp.where(cand, je, -1))
+        score = score.at[e].add(score[jnp.clip(p, 0)])
+        bp = bp.at[e].set(p)
+        return closure(e, p, (score, bp, disq, best))
+
+    def step(e, st):
+        te = typ[e]
+        return jax.lax.switch(
+            jnp.clip(te, 0, 4),
+            [
+                lambda s: s,  # 0: padding
+                lambda s: opener(e, s),  # FWD_START
+                lambda s: fwd_stop(e, s),  # FWD_STOP
+                lambda s: rev_start(e, s),  # REV_START
+                lambda s: opener(e, s),  # REV_STOP
+            ],
+            st,
+        )
+
+    init = (
+        ev["score"],
+        jnp.full(E, -2, jnp.int32),
+        jnp.zeros(E, dtype=bool),
+        jnp.full(6, -1, jnp.int32),
+    )
+    score, bp, disq, best = jax.lax.fori_loop(0, E, step, init)
+    return score, bp, best
+
+
+def _traceback(ev, score, bp, best):
+    """Set_Final_Event + Trace_Back (glimmer_base.cc:2536, glimmer3.cc:1631):
+    emit raw gene records (id, stop_position, gene_len, sign, score, trunc)
+    in traceback order; the host reverses and formats coordinates."""
+    import jax
+    import jax.numpy as jnp
+
+    E = ev["pos"].shape[0]
+    pos, typ, eid, trunc = ev["pos"], ev["typ"], ev["id"], ev["trunc"]
+
+    s6 = jnp.where(best >= 0, score[jnp.clip(best, 0)], 0.0)
+    fe = best[0]
+    fs = s6[0]
+    for i in range(1, 6):
+        take = s6[i] >= fs
+        fe = jnp.where(take, best[i], fe)
+        fs = jnp.where(take, s6[i], fs)
+
+    def body(_k, st):
+        (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
+         g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
+        active = p >= 0
+        pc = jnp.clip(p, 0)
+        tp = jnp.where(active, typ[pc], 0)
+
+        emit_f = tp == E_FWD_START
+        emit_r = tp == E_REV_STOP
+        emit = emit_f | emit_r
+        bpp = bp[pc]
+        sc_f = score[pc] - jnp.where(bpp >= 0, score[jnp.clip(bpp, 0)], 0.0)
+        rec_id = eid[pc]
+        rec_stop = jnp.where(emit_f, cur_stop, pos[pc] - 2)
+        rec_len = jnp.where(
+            emit_f, 2 + cur_stop - pos[pc], rev_start_pos - pos[pc]
+        )
+        rec_sign = jnp.where(emit_f, 1, -1)
+        rec_trunc = jnp.where(emit_f, trunc[pc], rev_trunc)
+        rec_score = jnp.where(emit_f, sc_f, prev_score - score[pc])
+
+        slot = jnp.clip(cnt, 0, MAX_GENES - 1)
+        g_id = jnp.where(emit, g_id.at[slot].set(rec_id), g_id)
+        g_stop = jnp.where(emit, g_stop.at[slot].set(rec_stop), g_stop)
+        g_len = jnp.where(emit, g_len.at[slot].set(rec_len), g_len)
+        g_sign = jnp.where(emit, g_sign.at[slot].set(rec_sign), g_sign)
+        g_trunc = jnp.where(emit, g_trunc.at[slot].set(rec_trunc), g_trunc)
+        g_score = jnp.where(emit, g_score.at[slot].set(rec_score), g_score)
+        cnt = cnt + emit.astype(jnp.int32)
+
+        cur_stop = jnp.where(tp == E_FWD_STOP, pos[pc] - 2,
+                             jnp.where(emit_r, pos[pc] - 2, cur_stop))
+        rev_start_pos = jnp.where(tp == E_REV_START, pos[pc], rev_start_pos)
+        prev_score = jnp.where(tp == E_REV_START, score[pc], prev_score)
+        rev_trunc = jnp.where(tp == E_REV_START, trunc[pc], rev_trunc)
+
+        p = jnp.where(active, bp[pc], p)
+        return (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
+                g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt)
+
+    z = jnp.zeros(MAX_GENES, jnp.int32)
+    st = (fe, jnp.int32(0), jnp.int32(0), jnp.float64(0.0),
+          jnp.zeros((), bool),
+          z, z, z, z, jnp.zeros(MAX_GENES, bool),
+          jnp.zeros(MAX_GENES, jnp.float64), jnp.int32(0))
+    st = jax.lax.fori_loop(0, E, body, st)
+    (_p, _cs, _rs, _ps, _rt,
+     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
+    return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt
+
+
+# ---------------------------------------------------------------------------
+# Top level: one read end-to-end, batch wrapper, host finish
+# ---------------------------------------------------------------------------
+
+
+def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+    import jax.numpy as jnp
+
+    t = _read_tables(seq, n, gi, bank)
+    fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"])
+    rv = _rev_orf_slots(t, n, Lp, consts["min_gene_len"])
+    Sf, Sr = _frame_prefix_sums(gene6, ind6, n, Lp)
+    pw = _pwm_arrays(seq, n, gi, bank, consts["W"])
+
+    std_f, tr_f, braw_f, anyev_f = _start_candidates_fwd(
+        t, fw, n, Lp, gi, bank, Sf, pw, consts
+    )
+    std_r, tr_r, braw_r, anyev_r = _start_candidates_rev(
+        t, rv, n, Lp, gi, bank, Sr, pw, consts
+    )
+    evprod_f = fw["emit"] & (braw_f > consts["start_threshold"]) & anyev_f
+    evprod_r = rv["emit"] & (braw_r > consts["start_threshold"]) & anyev_r
+    id_f, id_r = _assign_ids(fw, rv, evprod_f, evprod_r, Lp)
+
+    n_slots = Lp + 3
+    idx_slots = jnp.arange(n_slots, dtype=jnp.int32)
+    cslot_r = jnp.where(idx_slots < Lp, idx_slots % 3, idx_slots - Lp)
+    zsc = jnp.zeros(n_slots, dtype=jnp.float64)
+
+    fams = [
+        dict(std_f, valid=std_f["valid"] & evprod_f[std_f["slot"]],
+             typ=jnp.full(Lp, E_FWD_START, jnp.int32),
+             id=id_f[std_f["slot"]]),
+        dict(tr_f, valid=tr_f["valid"] & evprod_f,
+             typ=jnp.full(n_slots, E_FWD_START, jnp.int32), id=id_f),
+        dict(valid=evprod_f, pos=fw["stop_pos"] + 2,
+             score=zsc, sub=(fw["iS"] % 3 + 1) % 3,
+             typ=jnp.full(n_slots, E_FWD_STOP, jnp.int32), id=id_f,
+             trunc=jnp.zeros(n_slots, bool)),
+        dict(std_r, valid=std_r["valid"] & evprod_r[std_r["slot"]],
+             typ=jnp.full(Lp, E_REV_START, jnp.int32),
+             id=id_r[std_r["slot"]]),
+        dict(tr_r, valid=tr_r["valid"] & evprod_r,
+             typ=jnp.full(n_slots, E_REV_START, jnp.int32), id=id_r),
+        dict(valid=evprod_r, pos=rv["stop_pos"] + 2,
+             score=zsc, sub=3 + (cslot_r + 1) % 3,
+             typ=jnp.full(n_slots, E_REV_STOP, jnp.int32), id=id_r,
+             trunc=jnp.zeros(n_slots, bool)),
+    ]
+    for f in fams:
+        f.pop("slot", None)
+    ev, n_events = _assemble_events(fams, Lp)
+    score, bp, best = _event_dp(ev, gi, bank, consts)
+    g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt = _traceback(
+        ev, score, bp, best
+    )
+    return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events
+
+
+_JIT_CACHE: dict = {}
+
+
+def _bank_jnp(bank: DeviceBank):
+    import jax.numpy as jnp
+
+    fields = (
+        "fwd_start rev_start fwd_stop rev_stop which_fwd which_rev prior "
+        "start_lo len_score adj_or adj_dist adj_dist_len ignore_score_len "
+        "pwm_cols pwm_n pwm_user pwm_is_user gc_lp"
+    ).split()
+    return {f: jnp.asarray(getattr(bank, f)) for f in fields}
+
+
+def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
+                         gene6, ind6, cache_key=None):
+    """Run the chip-resident prediction for a padded read batch.
+
+    reads (B, L) int32, lengths (B,), groups (B,) — the same batching as
+    the six-frame precompute; gene6/ind6 (B, 6, L) f32 are that kernel's
+    outputs (device arrays; they never leave the chip). Returns host
+    numpy arrays of raw gene records + per-read event counts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, L0 = reads.shape
+    Lp = L0 + (-L0) % 3
+    consts = dict(
+        min_gene_len=bank.min_gene_len, max_olap=bank.max_olap,
+        event_threshold=bank.event_threshold,
+        start_threshold=bank.start_threshold,
+        ws=bank.ribosome_window, W=bank.pwm_w,
+    )
+
+    with jax.enable_x64():
+        key = (cache_key, b, Lp, tuple(sorted(consts.items())))
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            bj = _bank_jnp(bank)
+
+            def run(reads, lengths, groups, gene6, ind6):
+                def one(seq, n, gi, g6, i6):
+                    return _predict_one(seq, n, gi, g6, i6, bj, Lp, consts)
+
+                return jax.vmap(one)(reads, lengths, groups, gene6, ind6)
+
+            fn = jax.jit(run)
+            _JIT_CACHE[key] = fn
+
+        pad = Lp - L0
+        reads_p = jnp.pad(jnp.asarray(reads, jnp.int32), ((0, 0), (0, pad)))
+        g6 = jnp.pad(jnp.asarray(gene6), ((0, 0), (0, 0), (0, pad)))
+        i6 = jnp.pad(jnp.asarray(ind6), ((0, 0), (0, 0), (0, pad)))
+        out = fn(reads_p, jnp.asarray(lengths, jnp.int32),
+                 jnp.asarray(groups, jnp.int32), g6, i6)
+        return [np.asarray(x) for x in jax.device_get(out)]
+
+
+def finish_genes(outs, n_reads: int):
+    """Host-side tail of Trace_Back: reverse traceback order and fix up
+    final 1-based coordinates (glimmer3.cc:1692-1759). Returns
+    (list[list[TracedGene]], overflow mask)."""
+    from ..engine.events import TracedGene
+
+    g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events = outs
+    overflow = (n_events > MAX_EVENTS) | (cnt > MAX_GENES)
+    results = []
+    for r in range(n_reads):
+        genes = []
+        for k in range(int(cnt[r])):
+            sp = int(g_stop[r, k])
+            fabs = 1 + ((sp + 2) % 3) if sp >= 0 else 3 - ((-sp) % 3)
+            sign = int(g_sign[r, k])
+            frame = fabs if sign > 0 else -fabs
+            trunc = bool(g_trunc[r, k])
+            if frame > 0:
+                stop = sp + 2
+                start = stop - int(g_len[r, k]) - 2
+                if trunc:
+                    start -= 3
+            else:
+                stop = sp
+                start = stop + int(g_len[r, k]) + 2
+                if trunc:
+                    start += 3
+            genes.append(TracedGene(
+                id=int(g_id[r, k]), start=start, stop=stop, frame=frame,
+                score=float(g_score[r, k]), errors=(), truncated=trunc,
+            ))
+        results.append(genes[::-1])
+    return results, overflow

@@ -1,0 +1,157 @@
+"""Chip-resident prediction path (ops.device_predict) parity tests.
+
+The on-device ORF scan + event DP (SURVEY §7.4/§7.5) must produce
+coordinate-identical gene calls to the exact host engine in error-free
+mode. Scores are f64 with different summation groupings (whole-read
+prefix-sum differences vs fresh per-ORF cumsums) and XLA transcendentals,
+so they can differ in the last ulps — the tests also assert the PRINTED
+(%8.2f) scores agree, which bounds the practical effect.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from glimmer_mg_tpu.engine import glimmer_mg as mg
+from glimmer_mg_tpu.engine import orfs as orf_mod
+from glimmer_mg_tpu.engine.glimmer3 import Models
+from glimmer_mg_tpu.io.fasta import read_fasta
+from glimmer_mg_tpu.models import dna, icm as icm_mod, icm_train
+
+
+def _coords(genes):
+    return [(g.id, g.start, g.stop, g.frame) for g in genes]
+
+
+def _rows(genes):
+    return [
+        "%05d %d %d %+d %8.2f" % (g.id, g.start, g.stop, g.frame, g.score)
+        for g in genes
+    ]
+
+
+@pytest.fixture(scope="module")
+def trained_models():
+    """Two realistic Models bundles (trained gene ICMs, meta PWMs,
+    features) with distinct GC, like classes-mode parameterization."""
+    from glimmer_mg_tpu.io.genome_data import GenomeData
+    from glimmer_mg_tpu.pipeline import train_all
+
+    import tempfile
+
+    rng = np.random.default_rng(5)
+    root = tempfile.mkdtemp(prefix="devdp_db_")
+    genomes = {}
+    for gi, gc in ((0, 0.38), (1, 0.58)):
+        p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+
+        def gene(ncod):
+            cs = []
+            while len(cs) < ncod:
+                c = "".join(rng.choice(list("ACGT"), 3, p=p))
+                if c not in ("TAA", "TAG", "TGA"):
+                    cs.append(c)
+            return "ATG" + "".join(cs) + rng.choice(["TAA", "TAG", "TGA"])
+
+        parts = []
+        for _ in range(60):
+            parts.append(
+                "".join(rng.choice(list("ACGT"), int(rng.integers(40, 200)), p=p))
+            )
+            g = gene(int(rng.integers(80, 300)))
+            if rng.random() < 0.5:
+                g = g[::-1].translate(str.maketrans("ACGT", "TGCA"))
+            parts.append(g)
+        genomes[f"s{gi}|chr"] = "".join(parts)
+    train_all.train_all(genomes, os.path.join(root, "genomeData"))
+    gd = GenomeData(os.path.join(root, "genomeData"))
+    return gd, list(genomes)
+
+
+def _run_both(reads, gd, cls_map, monkeypatch):
+    monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    host = list(mg.run_glimmer_mg_classes(reads, gd, cls_map,
+                                          device_precompute=False))
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+    dev = list(mg.run_glimmer_mg_classes(reads, gd, cls_map,
+                                         device_precompute=False))
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    return host, dev
+
+
+def test_sample_reads_parity(trained_models, monkeypatch):
+    """Coordinate parity on the reference's sample reads (classes mode)."""
+    gd, classes = trained_models
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    recs = recs[:250]
+    cls_map = {
+        h.split()[0]: [classes[i % 2], classes[(i + 1) % 2]]
+        for i, (h, _s) in enumerate(recs)
+    }
+    host, dev = _run_both(recs, gd, cls_map, monkeypatch)
+    assert [h for h, _ in host] == [h for h, _ in dev]
+    n_genes = 0
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+        assert _rows(hg) == _rows(dg), h  # printed scores agree too
+        n_genes += len(hg)
+    assert n_genes > 50  # the comparison actually exercised genes
+
+
+def test_fuzz_random_reads(trained_models, monkeypatch):
+    """Random reads of varied lengths, including degenerate tiny ones."""
+    gd, classes = trained_models
+    rng = np.random.default_rng(17)
+    reads = []
+    cls_map = {}
+    for i in range(120):
+        n = int(rng.integers(30, 700))
+        gc = float(rng.uniform(0.3, 0.7))
+        p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+        seq = "".join(rng.choice(list("acgt"), n, p=p))
+        rid = f"fz{i}"
+        reads.append((rid, seq))
+        cls_map[rid] = [classes[int(rng.integers(0, 2))]]
+    host, dev = _run_both(reads, gd, cls_map, monkeypatch)
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+
+
+def test_user_icm_mode_parity(trained_models, monkeypatch):
+    """run_glimmer_mg (-m user ICM, no classes) through the device path."""
+    gd, classes = trained_models
+    icm_file = gd.classes_icm_file([classes[0]])
+    gicm = icm_mod.read_icm_cached(icm_file)
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    recs = recs[:80]
+
+    monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    host = list(mg.run_glimmer_mg(recs, gicm, device_precompute=False))
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+    dev = list(mg.run_glimmer_mg(recs, gicm, device_precompute=False))
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+
+
+def test_ineligible_falls_back(trained_models, monkeypatch):
+    """Indel/sub/quality modes must bypass the device path (and still
+    produce the host engine's output)."""
+    gd, classes = trained_models
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    recs = recs[:25]
+    cls_map = {h.split()[0]: [classes[0]] for h, _s in recs}
+
+    monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    host = list(mg.run_glimmer_mg_classes(
+        recs, gd, cls_map, allow_subs=True, device_precompute=False))
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+    dev = list(mg.run_glimmer_mg_classes(
+        recs, gd, cls_map, allow_subs=True, device_precompute=False))
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+        assert [tuple((e.pos, e.type) for e in g.errors) for g in hg] == \
+               [tuple((e.pos, e.type) for e in g.errors) for g in dg]
