@@ -144,6 +144,50 @@ def pack_tables(bank_mip: np.ndarray, bank_probs: np.ndarray, depth: int = 7):
     return level_mip, packed
 
 
+def pack_tables_int8(bank_mip: np.ndarray, bank_probs: np.ndarray,
+                     depth: int = 7, scale: float = 8.0):
+    """8-bit variant of :func:`pack_tables`: FOUR int8 fixed-point
+    log-probs per int32 (one node's 4 bases in one lane entry), halving
+    the prob-table rows (342 -> 171) that dominate the select-scan cost.
+
+    Range [-128/scale, 0] with quantization step 1/scale (round-to-
+    nearest error <= 1/(2*scale) = 1/16 per base at the default). The r4
+    measured effect on a realistic 256-model bank is recorded in
+    tools/int8_study.py + COMPONENTS.md (VERDICT r3 task 3): argmax
+    flips vs the exact walk decide whether classification may use it.
+    """
+    m, p, n = bank_mip.shape
+    rows = (n + LANES - 1) // LANES
+    pad_n = rows * LANES
+
+    lr = _level_rows(depth)
+    level_mip = np.full((m, p, sum(lr), LANES), -1, dtype=np.int32)
+    off = 0
+    for k, rk in enumerate(lr):
+        base = (4**k - 1) // 3
+        cnt = min(4**k, max(0, n - base))
+        flat = np.full((m, p, rk * LANES), -1, dtype=np.int32)
+        flat[:, :, :cnt] = bank_mip[:, :, base : base + cnt].astype(np.int32)
+        level_mip[:, :, off : off + rk] = flat.reshape(m, p, rk, LANES)
+        off += rk
+
+    probs_eff = np.array(bank_probs, dtype=np.float32)
+    parent = np.maximum(0, (np.arange(n) - 1) // 4)
+    mi, pi, ni = np.nonzero(bank_mip == -2)
+    probs_eff[mi, pi, ni] = probs_eff[mi, pi, parent[ni]]
+
+    probs_pad = np.zeros((m, p, pad_n, 4), dtype=np.float32)
+    probs_pad[:, :, :n] = probs_eff
+    probs_t = probs_pad.reshape(m, p, rows, LANES, 4).transpose(0, 1, 2, 4, 3)
+    probs_t = np.maximum(probs_t, np.float32(-128.0 / scale))
+    q = np.clip(np.rint(probs_t * scale), -128, 0).astype(np.int64) & 0xFF
+    packed = (
+        q[:, :, :, 0] | (q[:, :, :, 1] << 8) | (q[:, :, :, 2] << 16)
+        | (q[:, :, :, 3] << 24)
+    ).astype(np.uint32).astype(np.int32)
+    return level_mip, packed.reshape(m, p, rows, LANES), scale
+
+
 def _row_gather(tab, r0, rows, idx_lane, idx_row, init, shape):
     """out[s,l] = tab[r0 + idx_row[s,l], idx_lane[s,l]] via select-loop."""
     out = init
@@ -155,7 +199,8 @@ def _row_gather(tab, r0, rows, idx_lane, idx_row, init, shape):
 
 
 def _walk_kernel(
-    level_mip_ref, probs_pk_ref, ctx_ref, thresh_ref, last_ref, out_ref, *, depth, groups, s_grp
+    level_mip_ref, probs_pk_ref, ctx_ref, thresh_ref, last_ref, out_ref, *,
+    depth, groups, s_grp, int8=False, scale=FIXED_SCALE
 ):
     """Walk ``groups`` independent (s_grp, 128) position groups level-
     synchronized, so the per-level gather->arith dependency chains of the
@@ -197,23 +242,34 @@ def _walk_kernel(
             dones[g] = dones[g] | ~avail
 
     # final prob: fixed16x2 gather over (node>>7)*2 + (last>>1) rows, then
-    # pick the 16-bit half by last&1 (arithmetic shifts sign-extend)
+    # pick the 16-bit half by last&1; int8x4 packs a whole node in one
+    # int32 (one row per 128 nodes), byte-selected by last (arithmetic
+    # shifts sign-extend in both layouts)
     outs = []
     for g in range(groups):
-        hi2 = (nodes[g] >> 7) * 2 + (lasts[g] >> 1)
         lo = nodes[g] & (LANES - 1)
-        acc = _row_gather(pk, 0, pk.shape[0], lo, hi2, jnp.zeros(shape, jnp.int32), shape)
-        half = jnp.where((lasts[g] & 1) == 1, acc >> 16, (acc << 16) >> 16)
-        outs.append(half.astype(jnp.float32) * jnp.float32(1.0 / FIXED_SCALE))
+        if int8:
+            hi = nodes[g] >> 7
+            acc = _row_gather(pk, 0, pk.shape[0], lo, hi,
+                              jnp.zeros(shape, jnp.int32), shape)
+            val = (acc << (24 - 8 * lasts[g])) >> 24
+        else:
+            hi2 = (nodes[g] >> 7) * 2 + (lasts[g] >> 1)
+            acc = _row_gather(pk, 0, pk.shape[0], lo, hi2,
+                              jnp.zeros(shape, jnp.int32), shape)
+            val = jnp.where((lasts[g] & 1) == 1, acc >> 16, (acc << 16) >> 16)
+        outs.append(val.astype(jnp.float32) * jnp.float32(1.0 / scale))
     out_ref[0, 0] = jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_len", "depth", "interpret", "e_block", "groups")
+    jax.jit,
+    static_argnames=("model_len", "depth", "interpret", "e_block", "groups",
+                     "int8", "scale"),
 )
 def bank_score_reads_pallas(
     level_mip,  # (M, P, LR, 128) i32 from pack_tables
-    probs_pk,  # (M, P, rows*2, 128) i32 packed fixed16x2
+    probs_pk,  # (M, P, rows*2, 128) i32 packed fixed16x2 (or rows, int8x4)
     reads,  # (B, L) int32, L % 3 == 0
     lengths,  # (B,)
     model_len: int = 12,
@@ -221,6 +277,8 @@ def bank_score_reads_pallas(
     interpret: bool = False,
     e_block: int | None = None,
     groups: int = GROUPS,
+    int8: bool = False,
+    scale: float = FIXED_SCALE,
 ):
     """(B, M) total log-prob of each read under each bank model (frame 0)."""
     e_blk = (E_BLOCK if e_block is None else e_block) * groups
@@ -263,7 +321,8 @@ def bank_score_reads_pallas(
 
     grid = (m, 3, n_blocks)
     out = pl.pallas_call(
-        functools.partial(_walk_kernel, depth=depth, groups=groups, s_grp=s_grp),
+        functools.partial(_walk_kernel, depth=depth, groups=groups,
+                          s_grp=s_grp, int8=int8, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, lr, LANES), lambda mm, ff, bb: (mm, ff, 0, 0),
