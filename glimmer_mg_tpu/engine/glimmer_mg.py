@@ -294,8 +294,6 @@ def _native_predict(pending_jobs, fs_list, allow_indels, allow_subs):
     jobs = []
     try:
         for ji, (seq_idx, models, quals, have_qual) in enumerate(pending_jobs):
-            if models.circular:
-                return None
             fs = fs_list[ji] if fs_list is not None else None
             jobs.append(
                 (seq_idx, quals, have_qual, fs, _native_models_for(models))

@@ -152,6 +152,7 @@ class CModels(ct.Structure):
         ("ignore_score_len", ct.c_int64),
         ("allow_truncated_orfs", ct.c_int32),
         ("use_first_start_codon", ct.c_int32),
+        ("circular", ct.c_int32),
     ]
 
 
@@ -323,6 +324,7 @@ class NativeModels:
         c.use_first_start_codon = (
             1 if getattr(models, "use_first_start_codon", False) else 0
         )
+        c.circular = 1 if getattr(models, "circular", False) else 0
 
         self.c = c
 

@@ -116,6 +116,7 @@ struct NativeModels {
   int64_t ignore_score_len;
   int32_t allow_truncated_orfs;
   int32_t use_first_start_codon;  // glimmer3 -f (swapped-flag quirk)
+  int32_t circular;               // glimmer-mg -r (wraparound + Shift_Events)
 };
 
 struct ReadJob {
@@ -1045,8 +1046,11 @@ struct PwmScorer {
 };
 
 // ---------------------------------------------------------------------------
-// ORF enumeration (engine/orfs.py find_orfs; glimmer_base.cc:638-780)
-// Linear (non-circular) path only — circular reads fall back to Python.
+// ORF enumeration (engine/orfs.py find_orfs; glimmer_base.cc:638-780).
+// Circular sequences (glimmer-mg -r) run natively too: the codon stream is
+// extended 2 bases past the origin, wraparound ORFs come from the
+// Wrap_Through_Front / Wrap_Around_Back helpers (glimmer_base.cc:2770-2916)
+// and the event DP applies Find_Uncovered_Position / Shift_Events below.
 // ---------------------------------------------------------------------------
 
 struct Orf {
@@ -1075,19 +1079,77 @@ struct OrfFinder {
     return 0;
   }
 
+  // circular wrap helpers (glimmer_base.cc:2770-2864; engine/orfs.py)
+  // dbl_cod: codon stream over the DOUBLED mask sequence (length 2n).
+  std::vector<int32_t> dbl_cod;
+
+  void wrap_through_front(int64_t pos, int64_t* gene_len,
+                          int64_t* orf_len) const {
+    const NativeModels& M = *m;
+    int64_t s = (pos - 1) % 3;
+    const int64_t check_len = n + s - pos - 4;
+    int64_t start_at = -1;
+    int64_t i = 0;
+    while (i < check_len) {
+      const int64_t first = s - 3;
+      const int64_t j = (((first + 2) % n) + n) % n + n;
+      const int32_t c = dbl_cod[j];
+      if (must_be(c, M.fwd_stop, M.n_fwd_stop)) break;
+      if (can_be(c, M.fwd_start, M.n_fwd_start)) start_at = i + 3;
+      s = first;
+      i += 3;
+    }
+    *orf_len = i + 3 * ((pos - 1) / 3);
+    *gene_len = start_at == -1 ? 0 : start_at + 3 * ((pos - 1) / 3);
+  }
+
+  void wrap_around_back(int64_t wfr, int64_t pos, int64_t* gene_len,
+                        int64_t* orf_len) const {
+    const NativeModels& M = *m;
+    const int64_t check_len = pos - 1;
+    int64_t start_at = -1;
+    int64_t orf_add = 0;
+    int64_t i = wfr;
+    while (i < check_len) {
+      const int32_t c = i >= 2 ? dbl_cod[i] : 0;
+      if (i >= 2 && must_be(c, M.rev_stop, M.n_rev_stop)) {
+        orf_add = i - 2;
+        break;
+      }
+      orf_add = i + 1;
+      if (i >= 2 && can_be(c, M.rev_start, M.n_rev_start)) start_at = i + 1;
+      i += 3;
+    }
+    int64_t ol = orf_add + n - pos - 2;
+    ol -= ol % 3;
+    *orf_len = ol;
+    *gene_len = start_at == -1 ? 0 : start_at + n - pos - 2;
+  }
+
   void find(const uint8_t* masks, int len, bool allow_truncated,
-            bool allow_indel_orfs, std::vector<Orf>& orfs) {
+            bool allow_indel_orfs, std::vector<Orf>& orfs,
+            bool circular = false) {
     const NativeModels& M = *m;
     n = len;
     orfs.clear();
     if (n < M.min_gene_len) return;
 
-    cod.assign(n, 0);
+    // circular: a 2-base overhang catches codons spanning the origin
+    const int n_loop = circular ? n + 2 : n;
+    cod.assign(n_loop, 0);
     {
       int32_t reg = 0;
-      for (int i = 0; i < n; ++i) {
-        reg = ((reg & 0xFF) << 4) | masks[i];
+      for (int i = 0; i < n_loop; ++i) {
+        reg = ((reg & 0xFF) << 4) | masks[i < n ? i : i - n];
         cod[i] = reg;
+      }
+    }
+    if (circular) {
+      dbl_cod.assign(2 * n, 0);
+      int32_t reg = 0;
+      for (int i = 0; i < 2 * n; ++i) {
+        reg = ((reg & 0xFF) << 4) | masks[i < n ? i : i - n];
+        dbl_cod[i] = reg;
       }
     }
     for (int f = 0; f < 3; ++f) {
@@ -1095,15 +1157,15 @@ struct OrfFinder {
       rstarts[f].clear();
     }
     std::vector<std::pair<int, int>> stop_events;  // (subscript, ±1)
-    if (cpu_avx512() && n >= 32) {
+    if (cpu_avx512() && n_loop >= 32) {
       // vectorized pattern tests, then walk only the hit positions
-      const int nb = (n + 15) / 16;
+      const int nb = (n_loop + 15) / 16;
       thread_local std::vector<uint16_t> mfs, mrs, mfp, mrp;
       mfs.resize(nb);
       mrs.resize(nb);
       mfp.resize(nb);
       mrp.resize(nb);
-      classify_codons_avx512(cod.data(), n, M.fwd_start, M.n_fwd_start,
+      classify_codons_avx512(cod.data(), n_loop, M.fwd_start, M.n_fwd_start,
                              M.rev_start, M.n_rev_start, M.fwd_stop,
                              M.n_fwd_stop, M.rev_stop, M.n_rev_stop,
                              mfs.data(), mrs.data(), mfp.data(), mrp.data());
@@ -1121,7 +1183,7 @@ struct OrfFinder {
         }
       }
     } else {
-      for (int i = 0; i < n; ++i) {
+      for (int i = 0; i < n_loop; ++i) {
         const int f = i % 3;
         if (can_be(cod[i], M.fwd_start, M.n_fwd_start)) fstarts[f].push_back(i);
         if (can_be(cod[i], M.rev_start, M.n_rev_start)) rstarts[f].push_back(i);
@@ -1141,7 +1203,12 @@ struct OrfFinder {
       const int64_t pos = i - 1;
       const int64_t start_pos = first_fwd_start_after(f, prev_fwd_stop[f] + 1, i);
       int64_t gene_len, orf_len;
-      if (prev_fwd_stop[f] == 0) {
+      if (prev_fwd_stop[f] == 0 && circular) {
+        // Handle_First_Forward_Stop wraparound (glimmer_base.cc:946)
+        wrap_through_front(pos, &gene_len, &orf_len);
+        if (gene_len == 0 && start_pos != INT_MAX64)
+          gene_len = pos - start_pos;
+      } else if (prev_fwd_stop[f] == 0) {
         // Handle_First_Forward_Stop, linear (glimmer_base.cc:946-974)
         orf_len = pos - first_base;
         orf_len -= orf_len % 3;
@@ -1194,12 +1261,24 @@ struct OrfFinder {
     for (int f = 0; f < 3; ++f) {
       static const int64_t stop0[3] = {-1, 0, -2};
       const int64_t orf_stop = prev_rev_stop[f] == 0 ? stop0[f] : prev_rev_stop[f];
-      int64_t orf_len = n - orf_stop - 2;
-      orf_len -= orf_len % 3;
-      const int64_t last_start = last_rev_start_between(
-          f, prev_rev_stop[f] ? prev_rev_stop[f] + 1 : -1, n);
-      int64_t gene_len = last_start == 0 ? 0 : last_start - orf_stop;
-      if (allow_truncated && gene_len < M.min_gene_len) gene_len = orf_len;
+      int64_t gene_len, orf_len;
+      if (circular) {
+        // Handle_Last_Reverse_Stop wraparound branch (glimmer_base.cc:1030)
+        const int64_t wrap_fr = (3 + f - (n % 3)) % 3;
+        wrap_around_back(wrap_fr, prev_rev_stop[f], &gene_len, &orf_len);
+        if (gene_len == 0) {
+          const int64_t last_start = last_rev_start_between(
+              f, prev_rev_stop[f] ? prev_rev_stop[f] + 1 : -1, n_loop + 1);
+          if (last_start > 0) gene_len = last_start - prev_rev_stop[f];
+        }
+      } else {
+        orf_len = n - orf_stop - 2;
+        orf_len -= orf_len % 3;
+        const int64_t last_start = last_rev_start_between(
+            f, prev_rev_stop[f] ? prev_rev_stop[f] + 1 : -1, n);
+        gene_len = last_start == 0 ? 0 : last_start - orf_stop;
+        if (allow_truncated && gene_len < M.min_gene_len) gene_len = orf_len;
+      }
       if (gene_len >= M.min_gene_len ||
           (keep_len && orf_len >= MIN_INDEL_ORF_LEN))
         orfs.push_back({orf_stop, -1 - (f + 1) % 3, gene_len, orf_len});
@@ -1393,6 +1472,77 @@ struct EventEngine {
     *d = adj_dist_score(*m, pred->e_type, ep->e_type, distance);
   }
 
+  // Find_Uncovered_Position (glimmer_base.cc:556-634): a position not
+  // covered by any gene candidate, used as the circular rotation origin.
+  int64_t find_uncovered_position(const std::vector<Event*>& ep) const {
+    const int64_t ne = (int64_t)ep.size();
+    if (ne <= 1) return 0;
+    const int64_t first_pos = ep[1]->pos - 3;
+    const int64_t last_pos = ep[ne - 1]->pos - sequence_len;
+    if (last_pos <= first_pos) return 0;
+    int64_t cover_ct = 0;
+    int64_t zero_pos = ep[ne - 1]->pos;
+    for (int64_t i = 1; i < ne; ++i) {
+      switch (ep[i]->e_type) {
+        case FWD_START:
+          if (ep[i]->is_first_start) {
+            ++cover_ct;
+            if (cover_ct == 1 && 3 <= ep[i]->pos - zero_pos) return zero_pos;
+          }
+          break;
+        case FWD_STOP:
+          --cover_ct;
+          if (cover_ct == 0) zero_pos = ep[i]->pos;
+          break;
+        case REV_START:
+          if (ep[i]->is_first_start) {
+            --cover_ct;
+            if (cover_ct == 0) zero_pos = ep[i]->pos;
+          }
+          break;
+        case REV_STOP:
+          ++cover_ct;
+          if (cover_ct == 1 && 3 <= ep[i]->pos - zero_pos) return zero_pos;
+          break;
+        default:
+          return 0;  // unexpected event type
+      }
+    }
+    return 0;
+  }
+
+  // Shift_Events (glimmer_base.cc:2711-2760): rotate events before
+  // reference_pos to the back (+Sequence_Len) and relink frame chains;
+  // Set_Frame_From_Pos (2916) recomputes each shifted event's frame.
+  void shift_events(std::vector<Event*>& ep, int64_t reference_pos) {
+    const int64_t ne = (int64_t)ep.size();
+    if (ne <= 1) return;
+    Event* frame_last[6];
+    for (int i = 0; i < 6; ++i) frame_last[i] = last_event[i];
+    int64_t q = ne - 1;
+    while (q > 0 && reference_pos < ep[q]->pos) {
+      frame_last[frame_to_sub(ep[q]->frame)] = ep[q];
+      --q;
+    }
+    for (int f = 0; f < 6; ++f) {
+      if (reference_pos < frame_last[f]->pos)
+        frame_last[f]->frame_pred = ep[0];
+      else
+        last_event[f] = ep[0];
+    }
+    for (int64_t i = 1; i <= q; ++i) {
+      Event* ev = ep[i];
+      ev->pos += sequence_len;
+      const int32_t fabs_ = 1 + (int32_t)(ev->pos % 3);
+      ev->frame = ev->frame > 0 ? fabs_ : -fabs_;
+      const int f = frame_to_sub(ev->frame);
+      ev->frame_pred = last_event[f];
+      last_event[f] = ev;
+    }
+    std::sort(ep.begin(), ep.end(),
+              [](const Event* a, const Event* b) { return a->pos < b->pos; });
+  }
+
   void process_events() {
     std::vector<Event*> ep_list;
     Event* initial = nullptr;
@@ -1411,6 +1561,11 @@ struct EventEngine {
 
     std::sort(ep_list.begin(), ep_list.end(),
               [](const Event* a, const Event* b) { return a->pos < b->pos; });
+
+    if (m->circular) {
+      const int64_t reference_pos = find_uncovered_position(ep_list);
+      if (reference_pos > 0) shift_events(ep_list, reference_pos);
+    }
 
     for (Event* ev : ep_list) {
       if (ev->e_type == INITIAL)
@@ -2148,7 +2303,7 @@ static void predict_read(const ReadJob& job, bool allow_indels,
     PhaseTimer pt(PH_ORFS);
     w.orf_finder.m = &M;
     w.orf_finder.find(w.masks.data(), n, M.allow_truncated_orfs != 0,
-                      allow_indels || allow_subs, w.orfs);
+                      allow_indels || allow_subs, w.orfs, M.circular != 0);
   }
 
   w.state.m = &M;
