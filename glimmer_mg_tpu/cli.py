@@ -208,6 +208,14 @@ def cmd_glimmer_mg(argv):
     p.add_argument("--genome_data", default=None,
                    help="genomeData directory for -c mode (the reference "
                         "compiles this path in; glimmer-mg.cc:147)")
+    p.add_argument("--num_procs", type=int, default=1,
+                   help="read-shard the predict stage over N processes "
+                        "(-c mode): this process handles a contiguous "
+                        "slice of the emission order and writes "
+                        "<tag>.predict.part<proc_id>; concatenating the "
+                        "parts is byte-equal to a single-process run "
+                        "(reference combine_seq merge, phymm_par.py:283)")
+    p.add_argument("--proc_id", type=int, default=0)
     a = p.parse_args(argv)
 
     from .io.fasta import read_fasta, read_qual
@@ -234,11 +242,22 @@ def cmd_glimmer_mg(argv):
             p.error("-c requires --genome_data (the reference hardcodes "
                     "ICM_dir at compile time)")
         gd = GenomeData(a.genome_data)
+        cls_map = parse_classes(a.classes)
+        if a.num_procs > 1:
+            # contiguous slice of the deterministic emission order; the
+            # reads in this slice are predicted independently of every
+            # other process (the predict stage has no cross-read state)
+            order = mg.classes_emission_order(gd, cls_map)
+            present = {h.split()[0] for h, _ in recs}
+            order = [pr for pr in order if pr in present]
+            per = -(-len(order) // a.num_procs)
+            mine = set(order[a.proc_id * per : (a.proc_id + 1) * per])
+            recs = [r for r in recs if r[0].split()[0] in mine]
         results = list(
             mg.run_glimmer_mg_classes(
                 recs,
                 gd,
-                parse_classes(a.classes),
+                cls_map,
                 qualities=quals,
                 user_icm=icm_mod.read_icm(a.icm) if a.icm else None,
                 features_path=a.features,
@@ -271,7 +290,8 @@ def cmd_glimmer_mg(argv):
                 stop_codons=stop_codons,
             )
         )
-    with open(a.tag + ".predict", "w") as fh:
+    suffix = (".predict.part%d" % a.proc_id) if a.num_procs > 1 else ".predict"
+    with open(a.tag + suffix, "w") as fh:
         fh.write(mg.format_predict_mg(results))
 
 

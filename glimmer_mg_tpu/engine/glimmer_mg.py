@@ -910,6 +910,34 @@ class MetaPwmScorer:
         return out
 
 
+def classes_emission_order(genome_data, classifications: dict) -> list[str]:
+    """Reference emission order of classified reads (glimmer-mg.cc:361):
+    reads grouped by gene-ICM file, groups in __gnu_cxx::hash_map iteration
+    order over the ICM paths, reads within a group in the
+    `classifications` hash_map order (Read_Meta_ICMs, glimmer-mg.cc:1001);
+    unclassified reads are never emitted. Duplicate prefixes: the last
+    read wins (Read_Indexes) and is emitted once.
+
+    A pure function of the class map — any process can compute it, so
+    read-sharded multi-process prediction can take contiguous slices whose
+    concatenated outputs are byte-equal to the single-process run
+    (reference combine_seq merge semantics, phymm_par.py:283-399).
+    """
+    from ..utils.gnuhash import GnuHashMap, gnu_hash_order
+
+    icm_groups = GnuHashMap()
+    for prefix in gnu_hash_order(list(classifications.keys())):
+        cl = classifications.get(prefix)
+        if not cl:
+            continue
+        f = genome_data.classes_icm_file(cl)
+        if f in icm_groups:
+            icm_groups[f].append(prefix)
+        else:
+            icm_groups.insert(f, [prefix])
+    return [p for _f, prefixes in icm_groups.items() for p in prefixes]
+
+
 def run_glimmer_mg_classes(
     sequences,  # list of (header, seq)
     genome_data,  # io.genome_data.GenomeData
@@ -966,31 +994,12 @@ def run_glimmer_mg_classes(
         user_gc = gc_fraction([s for _, s in sequences])
         iter_sequences = sequences
     else:
-        # Reference emission order (glimmer-mg.cc:361): reads grouped by
-        # gene-ICM file, groups in __gnu_cxx::hash_map iteration order over
-        # the ICM paths, reads within a group in the `classifications`
-        # hash_map order (Read_Meta_ICMs, glimmer-mg.cc:1001); unclassified
-        # reads are never emitted. Duplicate prefixes: the last read wins
-        # (Read_Indexes) and is emitted once.
-        from ..utils.gnuhash import GnuHashMap, gnu_hash_order
-
-        icm_groups = GnuHashMap()
-        for prefix in gnu_hash_order(list(classifications.keys())):
-            cl = classifications.get(prefix)
-            if not cl:
-                continue
-            f = genome_data.classes_icm_file(cl)
-            if f in icm_groups:
-                icm_groups[f].append(prefix)
-            else:
-                icm_groups.insert(f, [prefix])
         by_prefix = {}
         for h, s in sequences:
             by_prefix[h.split()[0]] = (h, s)
         iter_sequences = [
             by_prefix[p]
-            for _, prefixes in icm_groups.items()
-            for p in prefixes
+            for p in classes_emission_order(genome_data, classifications)
             if p in by_prefix
         ]
 

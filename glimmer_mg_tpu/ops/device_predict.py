@@ -599,68 +599,84 @@ def _pwm_arrays(seq, n, gi, bank, pwm_w: int):
     denom = jnp.maximum(nm, 1).astype(jnp.float64)
     mixf = jnp.sum(jnp.where(cmask, prod_f, 0.0), axis=0) / denom
     mixr = jnp.sum(jnp.where(cmask, prod_r, 0.0), axis=0) / denom
+    is_user = bank["pwm_is_user"][gi]
+    has_mix = nm > 0
+    # one log pass per strand; the separation scan below is then pure
+    # shift-compare (the per-candidate scorers become two gathers)
+    sc_f = jnp.where(is_user, uf, jnp.log(mixf) - gcf)
+    sc_r = jnp.where(is_user, ur, jnp.log(mixr) - gcr)
     return {
-        "mixf": mixf, "mixr": mixr, "gcf": gcf, "gcr": gcr,
-        "uf": uf, "ur": ur,
-        "is_user": bank["pwm_is_user"][gi], "has_mix": nm > 0,
+        "sc_f": sc_f, "sc_r": sc_r,
+        "is_user": is_user, "has_mix": has_mix,
     }
 
 
-def _pwm_fwd(pw, pos, n, ws: int, W: int):
-    """(pwm_score, sep) of a forward start at 1-based position ``pos``.
-
-    Separation window scan with the reference's strict-> first-max rule
-    (smallest separation wins ties)."""
+def _pwm_window_tables(pw, n, Lp: int, ws: int, W: int):
+    """Per-position (score, sep) of the best RBS window for every possible
+    start position, with the reference's strict-> first-max rule (smallest
+    separation wins ties). Indexed by 0-based (pos - 1); every candidate
+    start then needs only two gathers."""
     import jax.numpy as jnp
 
     if pw is None:
-        z = jnp.zeros_like(pos, dtype=jnp.float64)
-        return z, jnp.zeros_like(pos)
-    best = jnp.full(pos.shape, -jnp.inf, dtype=jnp.float64)
-    bsep = jnp.zeros_like(pos)
+        return None
     any_mode = pw["is_user"] | pw["has_mix"]
+    p0 = jnp.arange(Lp, dtype=jnp.int32)
+
+    best_f = jnp.full(Lp, -jnp.inf, dtype=pw["sc_f"].dtype)
+    sep_f = jnp.zeros(Lp, dtype=jnp.int32)
+    best_r = jnp.full(Lp, -jnp.inf, dtype=pw["sc_f"].dtype)
+    sep_r = jnp.zeros(Lp, dtype=jnp.int32)
     for s in range(ws - W + 1):
-        lo_w = pos - W - 1 - s
-        ok = (lo_w >= 0) & any_mode
-        lw = jnp.clip(lo_w, 0, pw["mixf"].shape[0] - 1)
-        sc = jnp.where(
-            pw["is_user"], pw["uf"][lw], jnp.log(pw["mixf"][lw]) - pw["gcf"][lw]
-        )
-        take = ok & (sc > best)
-        best = jnp.where(take, sc, best)
-        bsep = jnp.where(take, s, bsep)
-    none = ~jnp.isfinite(best)
-    # user mode returns (0,0) when no window fits; the mixture scorer
-    # leaves -inf (add_pwm_score then skips it) — mirror both
-    best = jnp.where(none & pw["is_user"], 0.0, best)
-    bsep = jnp.where(none, 0, bsep)
-    return best, bsep
+        # fwd: window start = pos - W - 1 - s = p0 - W - s
+        scf = _shift_right(pw["sc_f"], min(W + s, Lp), -np.inf)
+        okf = (p0 - W - s >= 0) & any_mode
+        tkf = okf & (scf > best_f)
+        best_f = jnp.where(tkf, scf, best_f)
+        sep_f = jnp.where(tkf, s, sep_f)
+        # rev: window key k = pos + s = p0 + 1 + s; valid while
+        # hi = pos - 1 + W + s < n
+        scr = _shift_left(pw["sc_r"], min(s + 1, Lp), -np.inf)
+        okr = (p0 + W + s < n) & any_mode
+        tkr = okr & (scr > best_r)
+        best_r = jnp.where(tkr, scr, best_r)
+        sep_r = jnp.where(tkr, s, sep_r)
+
+    def fix(best, sep, user_zero):
+        none = ~jnp.isfinite(best)
+        best = jnp.where(none & user_zero, 0.0, best)
+        sep = jnp.where(none, 0, sep)
+        return best, sep
+
+    best_f, sep_f = fix(best_f, sep_f, pw["is_user"])
+    best_r, sep_r = fix(best_r, sep_r, pw["is_user"])
+    return {"bf": best_f, "sf": sep_f, "br": best_r, "sr": sep_r}
 
 
-def _pwm_rev(pw, pos, n, ws: int, W: int):
+def _pwm_fwd(pwt, pos):
+    """(pwm_score, sep) of forward starts at 1-based positions ``pos`` —
+    gathers from the per-position window tables."""
     import jax.numpy as jnp
 
-    if pw is None:
+    if pwt is None:
         z = jnp.zeros_like(pos, dtype=jnp.float64)
         return z, jnp.zeros_like(pos)
-    best = jnp.full(pos.shape, -jnp.inf, dtype=jnp.float64)
-    bsep = jnp.zeros_like(pos)
-    any_mode = pw["is_user"] | pw["has_mix"]
-    for s in range(ws - W + 1):
-        hi = pos - 1 + W + s
-        k = hi - (W - 1)
-        ok = (hi < n) & any_mode
-        kw = jnp.clip(k, 0, pw["mixr"].shape[0] - 1)
-        sc = jnp.where(
-            pw["is_user"], pw["ur"][kw], jnp.log(pw["mixr"][kw]) - pw["gcr"][kw]
-        )
-        take = ok & (sc > best)
-        best = jnp.where(take, sc, best)
-        bsep = jnp.where(take, s, bsep)
-    none = ~jnp.isfinite(best)
-    best = jnp.where(none & pw["is_user"], 0.0, best)
-    bsep = jnp.where(none, 0, bsep)
-    return best, bsep
+    return (
+        _gather_guard(pwt["bf"], pos - 1, 0.0),
+        _gather_guard(pwt["sf"], pos - 1, 0),
+    )
+
+
+def _pwm_rev(pwt, pos):
+    import jax.numpy as jnp
+
+    if pwt is None:
+        z = jnp.zeros_like(pos, dtype=jnp.float64)
+        return z, jnp.zeros_like(pos)
+    return (
+        _gather_guard(pwt["br"], pos - 1, 0.0),
+        _gather_guard(pwt["sr"], pos - 1, 0),
+    )
 
 
 def _add_pwm(score, pwm, sep):
@@ -743,7 +759,7 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
 
     pos = q + 3  # 1-based event position (kk + 2)
-    pwm, sep = _pwm_fwd(pw, pos - 2, n, ws, W)  # scorer takes start pos kk
+    pwm, sep = _pwm_fwd(pw, pos - 2)  # scorer takes start pos kk
     score = raw + bank["prior"][gi].astype(jnp.float64)
     score = _add_pwm(score, pwm, sep)
     start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
@@ -764,7 +780,7 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
     raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
     pos_t = q_t + 3
-    pwm_t, sep_t = _pwm_fwd(pw, pos_t - 2, n, ws, W)
+    pwm_t, sep_t = _pwm_fwd(pw, pos_t - 2)
     score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
     score_t = _add_pwm(score_t, pwm_t, sep_t)
     len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
@@ -840,7 +856,7 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
 
     pos = u + 1  # REV_START event position = kk
-    pwm, sep = _pwm_rev(pw, pos, n, ws, W)
+    pwm, sep = _pwm_rev(pw, pos)
     score = raw + bank["prior"][gi].astype(jnp.float64)
     score = _add_pwm(score, pwm, sep)
     start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
@@ -860,7 +876,7 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
     raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
     pos_t = u_t + 1
-    pwm_t, sep_t = _pwm_rev(pw, pos_t, n, ws, W)
+    pwm_t, sep_t = _pwm_rev(pw, pos_t)
     score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
     score_t = _add_pwm(score_t, pwm_t, sep_t)
     len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
@@ -981,7 +997,7 @@ def _adj_pair(bank, gi, max_olap, t1, succ_is_fstart, dist):
     return or_s, di_s
 
 
-def _event_dp(ev, gi, bank, consts):
+def _event_dp(ev, gi, bank, consts, ne=None):
     """The event-graph DP: Process_Events + Process_*_Event semantics over
     index-ordered event arrays. Frame chains are implicit (events of frame
     f in processing order = ascending index), best_event[f] is an index,
@@ -1196,11 +1212,14 @@ def _event_dp(ev, gi, bank, consts):
         jnp.zeros(E, dtype=bool),
         jnp.full(6, -1, jnp.int32),
     )
-    score, bp, disq, best = jax.lax.fori_loop(0, E, step, init)
+    # dynamic bound: only the read's real events run (under vmap the loop
+    # executes max-over-batch steps, typically far below MAX_EVENTS)
+    hi = E if ne is None else ne
+    score, bp, disq, best = jax.lax.fori_loop(0, hi, step, init)
     return score, bp, best
 
 
-def _traceback(ev, score, bp, best):
+def _traceback(ev, score, bp, best, ne=None):
     """Set_Final_Event + Trace_Back (glimmer_base.cc:2536, glimmer3.cc:1631):
     emit raw gene records (id, stop_position, gene_len, sign, score, trunc)
     in traceback order; the host reverses and formats coordinates."""
@@ -1263,7 +1282,7 @@ def _traceback(ev, score, bp, best):
           jnp.zeros((), bool),
           z, z, z, z, jnp.zeros(MAX_GENES, bool),
           jnp.zeros(MAX_GENES, jnp.float64), jnp.int32(0))
-    st = jax.lax.fori_loop(0, E, body, st)
+    st = jax.lax.fori_loop(0, E if ne is None else ne, body, st)
     (_p, _cs, _rs, _ps, _rt,
      g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
     return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt
@@ -1277,11 +1296,16 @@ def _traceback(ev, score, bp, best):
 def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     import jax.numpy as jnp
 
+    ne_cap = consts.get("ne_cap", MAX_EVENTS)
+
     t = _read_tables(seq, n, gi, bank)
     fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"])
     rv = _rev_orf_slots(t, n, Lp, consts["min_gene_len"])
     Sf, Sr = _frame_prefix_sums(gene6, ind6, n, Lp)
-    pw = _pwm_arrays(seq, n, gi, bank, consts["W"])
+    pw = _pwm_window_tables(
+        _pwm_arrays(seq, n, gi, bank, consts["W"]),
+        n, Lp, consts["ws"], consts["W"],
+    ) if consts["W"] else None
 
     std_f, tr_f, braw_f, anyev_f = _start_candidates_fwd(
         t, fw, n, Lp, gi, bank, Sf, pw, consts
@@ -1321,9 +1345,10 @@ def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     for f in fams:
         f.pop("slot", None)
     ev, n_events = _assemble_events(fams, Lp)
-    score, bp, best = _event_dp(ev, gi, bank, consts)
+    ne = jnp.minimum(n_events, ne_cap)
+    score, bp, best = _event_dp(ev, gi, bank, consts, ne)
     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt = _traceback(
-        ev, score, bp, best
+        ev, score, bp, best, ne
     )
     return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events
 
@@ -1342,8 +1367,18 @@ def _bank_jnp(bank: DeviceBank):
     return {f: jnp.asarray(getattr(bank, f)) for f in fields}
 
 
+def use_f64_default() -> bool:
+    """DP score precision: f64 (reference-matching C doubles, emulated on
+    TPU) unless GLIMMER_MG_TPU_DEVICE_DP_F32=1 selects the f32 carry
+    (measured coordinate-identical on the sample + fuzz sets; see
+    tests/test_device_predict.py::test_f32_dp_parity)."""
+    import os
+
+    return os.environ.get("GLIMMER_MG_TPU_DEVICE_DP_F32") != "1"
+
+
 def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
-                         gene6, ind6, cache_key=None):
+                         gene6, ind6, cache_key=None, f64=None):
     """Run the chip-resident prediction for a padded read batch.
 
     reads (B, L) int32, lengths (B,), groups (B,) — the same batching as
@@ -1351,19 +1386,32 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
     outputs (device arrays; they never leave the chip). Returns host
     numpy arrays of raw gene records + per-read event counts.
     """
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
+    if f64 is None:
+        f64 = use_f64_default()
     b, L0 = reads.shape
     Lp = L0 + (-L0) % 3
     consts = dict(
         min_gene_len=bank.min_gene_len, max_olap=bank.max_olap,
         event_threshold=bank.event_threshold,
         start_threshold=bank.start_threshold,
-        ws=bank.ribosome_window, W=bank.pwm_w,
+        ws=bank.ribosome_window, W=bank.pwm_w, f64=f64,
     )
 
-    with jax.enable_x64():
+    # without x64, every jnp.float64 in the trace becomes f32 — exactly
+    # the intended precision switch (suppress the per-call-site warnings)
+    import warnings
+
+    with jax.enable_x64() if f64 else contextlib.nullcontext(), \
+            warnings.catch_warnings():
+        if not f64:
+            warnings.filterwarnings(
+                "ignore", message=".*dtype float64.*", category=UserWarning
+            )
         key = (cache_key, b, Lp, tuple(sorted(consts.items())))
         fn = _JIT_CACHE.get(key)
         if fn is None:

@@ -155,3 +155,24 @@ def test_ineligible_falls_back(trained_models, monkeypatch):
         assert _coords(hg) == _coords(dg), h
         assert [tuple((e.pos, e.type) for e in g.errors) for g in hg] == \
                [tuple((e.pos, e.type) for e in g.errors) for g in dg]
+
+
+def test_f32_dp_parity(trained_models, monkeypatch):
+    """The f32 score-carry mode (the TPU-fast configuration — f64 is
+    emulated on TPU) must also be coordinate-identical to the host
+    engine on sample + fuzz reads."""
+    gd, classes = trained_models
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP_F32", "1")
+    rng = np.random.default_rng(23)
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    reads = recs[:120]
+    for i in range(60):
+        n = int(rng.integers(60, 600))
+        reads.append((f"fz{i}", "".join(rng.choice(list("acgt"), n))))
+    cls_map = {
+        h.split()[0]: [classes[i % 2]] for i, (h, _s) in enumerate(reads)
+    }
+    host, dev = _run_both(reads, gd, cls_map, monkeypatch)
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP_F32", raising=False)
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
