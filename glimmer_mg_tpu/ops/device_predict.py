@@ -540,10 +540,14 @@ def _frame_prefix_sums(gene6, ind6, n, Lp):
 
     p = jnp.arange(Lp, dtype=jnp.int32)
     valid = p < n
-    ridx = jnp.clip(n - 1 - p, 0, Lp - 1)
+    # x[n-1-p] as flip+roll (XLA lowers the per-element reversal gather to
+    # a pathologically slow generic gather on TPU: measured 2.96 s of the
+    # 3.16 s candidate stage at (1024, 513); roll+flip is ~free)
+    rev_g = jnp.roll(jnp.flip(gene6[:3], axis=-1), n - Lp, axis=-1)
+    rev_i = jnp.roll(jnp.flip(ind6[:3], axis=-1), n - Lp, axis=-1)
     fs_f = jnp.where(
         valid[None, :],
-        gene6[:3, ridx].astype(jnp.float64) - ind6[:3, ridx].astype(jnp.float64),
+        rev_g.astype(jnp.float64) - rev_i.astype(jnp.float64),
         0.0,
     )
     fs_r = jnp.where(
@@ -1020,9 +1024,9 @@ def _event_dp(ev, gi, bank, consts, ne=None):
         dist = pos[e_idx] - pred_pos - 3
         return _adj_pair(bank, gi, max_olap, pred_typ, succ_fs, dist)
 
-    def opener(e, st):
-        score, bp, disq, best = st
-        processed = je < e
+    def opener_best(e, score, bp, disq, best, processed):
+        """Best-predecessor scan for FWD_START/REV_STOP events: returns
+        (max f32 candidate, winner index)."""
         or_s, di_s = adj_to(e, typ, pos)
         cand_f32 = (
             score + or_s.astype(jnp.float64) + di_s.astype(jnp.float64)
@@ -1085,11 +1089,7 @@ def _event_dp(ev, gi, bank, consts, ne=None):
         m = jnp.max(scores_all)
         winner_rank = jnp.min(jnp.where(scores_all == m, ranks_all, BIG))
         w = jnp.argmax((scores_all == m) & (ranks_all == winner_rank))
-        winner = idx_all[w]
-
-        score = score.at[e].add(m.astype(jnp.float64))
-        bp = bp.at[e].set(winner)
-        return score, bp, disq, best
+        return m, idx_all[w]
 
     def walk_set(disq, bp, q0, cutoff, value):
         # Disqualify/Requalify chain walk (glimmer_base.cc:437-458,
@@ -1113,98 +1113,88 @@ def _event_dp(ev, gi, bank, consts, ne=None):
         )
         return disq
 
-    def closure(e, p_disq, st):
+    def step(e, st):
+        """One merged body for every event type (under vmap a lax.switch
+        evaluates all branches anyway; merging shares the scans and runs
+        TWO chain walks per step instead of four)."""
         score, bp, disq, best = st
+        te = typ[e]
+        active = te != 0
+        is_open = (te == E_FWD_START) | (te == E_REV_STOP)
+        is_fs = te == E_FWD_STOP
+        is_rs = te == E_REV_START
+        processed = je < e
+
+        m_open, w_open = opener_best(e, score, bp, disq, best, processed)
+
+        # closer scans: FWD_STOP takes its best same-id start; REV_START
+        # locates its REV_STOP (largest same-frame non-REV_START with its id)
+        cand_id = processed & (sub == sub[e]) & (eid == eid[e])
+        m_fs = jnp.max(jnp.where(cand_id, score, -jnp.inf))
+        w_fs = jnp.max(jnp.where(cand_id & (score == m_fs), je, -1))
+        p_rs = jnp.max(jnp.where(cand_id & (typ != E_REV_START), je, -1))
+
+        new_e_score = jnp.where(
+            is_open, score[e] + m_open.astype(score.dtype),
+            jnp.where(
+                is_fs, m_fs,
+                jnp.where(is_rs, score[e] + score[jnp.clip(p_rs, 0)],
+                          score[e]),
+            ),
+        )
+        new_e_bp = jnp.where(
+            is_open, w_open,
+            jnp.where(is_fs, w_fs, jnp.where(is_rs, p_rs, bp[e])),
+        )
+        score = score.at[e].set(jnp.where(active, new_e_score, score[e]))
+        bp = bp.at[e].set(jnp.where(active, new_e_bp, bp[e]))
+
+        # ---- closure (Process_Fwd_Stop_Rev_Start tail), masked by `do` ----
         f = sub[e]
         be = best[f]
         be_s = jnp.where(be >= 0, score[jnp.clip(be, 0)], 0.0)
+        do = (is_fs | is_rs) & (be_s < score[e])
+        p_disq = jnp.where(is_rs, p_rs, -1)
+        cutoff = 3 + pos[e] - max_olap
+        q0 = jnp.where(do & (p_disq >= 0), bp[jnp.clip(p_disq, 0)], -1)
+        disq = walk_set(disq, bp, q0, cutoff, True)
+        best = best.at[f].set(jnp.where(do, e, be))
 
-        def do_close(st2):
-            score, bp, disq, best = st2
-            cutoff = 3 + pos[e] - max_olap
-            q0 = jnp.where(p_disq >= 0, bp[jnp.clip(p_disq, 0)], -1)
-            disq = walk_set(disq, bp, q0, cutoff, True)
-            best = best.at[f].set(e)
+        window = processed & (3 + pos[e] - pos <= max_olap)
+        opener_m = (typ == E_FWD_START) | (typ == E_REV_STOP)
+        bpj = bp
+        bpj_c = jnp.clip(bpj, 0)
+        needed = jnp.where(bpj >= 0, score[bpj_c], 0.0)
+        cand = do & window & ~disq & opener_m & (needed < score[e])
 
-            processed = je < e
-            window = processed & (3 + pos[e] - pos <= max_olap)
-            opener_m = (typ == E_FWD_START) | (typ == E_REV_STOP)
-            bpj = bp
-            bpj_c = jnp.clip(bpj, 0)
-            needed = jnp.where(bpj >= 0, score[bpj_c], 0.0)
-            cand = window & ~disq & opener_m & (needed < score[e])
-
-            # old adjacency: (p.best_pred -> p); INITIAL pred -> 0
-            succ_fs = typ == E_FWD_START
-            bp_typ = jnp.where(bpj >= 0, typ[bpj_c], 0)
-            oo, od = _adj_pair(
-                bank, gi, max_olap, bp_typ, succ_fs, pos - pos[bpj_c] - 3
-            )
-            old_adj = jnp.where(bpj >= 0, oo + od, jnp.float32(0.0))
-            no_, nd = _adj_pair(
-                bank, gi, max_olap,
-                jnp.full(E, typ[e], jnp.int32), succ_fs, pos - pos[e] - 3
-            )
-            new_adj = no_ + nd
-            diff = (score[e] - needed) + (new_adj - old_adj).astype(
-                jnp.float64
-            )
-            upd = cand & (diff > 0.0)
-            prop = (
-                processed
-                & (bpj >= 0)
-                & upd[bpj_c]
-                & (sub == sub[bpj_c])
-                & (je > bpj)
-            )
-            delta = jnp.where(upd, diff, 0.0) + jnp.where(
-                prop, diff[bpj_c], 0.0
-            )
-            score = score + delta
-            bp = jnp.where(upd, e, bp)
-
-            q0b = jnp.where(p_disq >= 0, bp[jnp.clip(p_disq, 0)], -1)
-            disq = walk_set(disq, bp, q0b, cutoff, False)
-            return score, bp, disq, best
-
-        return jax.lax.cond(be_s < score[e], do_close, lambda s: s,
-                            (score, bp, disq, best))
-
-    def fwd_stop(e, st):
-        score, bp, disq, best = st
-        processed = je < e
-        cand = processed & (sub == sub[e]) & (eid == eid[e])
-        m = jnp.max(jnp.where(cand, score, -jnp.inf))
-        winner = jnp.max(jnp.where(cand & (score == m), je, -1))
-        score = score.at[e].set(m)
-        bp = bp.at[e].set(winner)
-        return closure(e, jnp.int32(-1), (score, bp, disq, best))
-
-    def rev_start(e, st):
-        score, bp, disq, best = st
-        processed = je < e
-        cand = (
-            processed & (sub == sub[e]) & (typ != E_REV_START)
-            & (eid == eid[e])
+        # old adjacency: (p.best_pred -> p); INITIAL pred -> 0
+        succ_fs = typ == E_FWD_START
+        bp_typ = jnp.where(bpj >= 0, typ[bpj_c], 0)
+        oo, od = _adj_pair(
+            bank, gi, max_olap, bp_typ, succ_fs, pos - pos[bpj_c] - 3
         )
-        p = jnp.max(jnp.where(cand, je, -1))
-        score = score.at[e].add(score[jnp.clip(p, 0)])
-        bp = bp.at[e].set(p)
-        return closure(e, p, (score, bp, disq, best))
-
-    def step(e, st):
-        te = typ[e]
-        return jax.lax.switch(
-            jnp.clip(te, 0, 4),
-            [
-                lambda s: s,  # 0: padding
-                lambda s: opener(e, s),  # FWD_START
-                lambda s: fwd_stop(e, s),  # FWD_STOP
-                lambda s: rev_start(e, s),  # REV_START
-                lambda s: opener(e, s),  # REV_STOP
-            ],
-            st,
+        old_adj = jnp.where(bpj >= 0, oo + od, jnp.float32(0.0))
+        no_, nd = _adj_pair(
+            bank, gi, max_olap,
+            jnp.full(E, typ[e], jnp.int32), succ_fs, pos - pos[e] - 3
         )
+        new_adj = no_ + nd
+        diff = (score[e] - needed) + (new_adj - old_adj).astype(score.dtype)
+        upd = cand & (diff > 0.0)
+        prop = (
+            processed
+            & (bpj >= 0)
+            & upd[bpj_c]
+            & (sub == sub[bpj_c])
+            & (je > bpj)
+        )
+        delta = jnp.where(upd, diff, 0.0) + jnp.where(prop, diff[bpj_c], 0.0)
+        score = score + delta
+        bp = jnp.where(upd, e, bp)
+
+        q0b = jnp.where(do & (p_disq >= 0), bp[jnp.clip(p_disq, 0)], -1)
+        disq = walk_set(disq, bp, q0b, cutoff, False)
+        return score, bp, disq, best
 
     init = (
         ev["score"],
