@@ -354,7 +354,13 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
     l_pad = _bucket(int(lengths.max(initial=1)))
     b_pad = _bucket(len(pending_jobs), 64)
 
-    bank_key = tuple(sorted(model_ids)) + (l_pad,)
+    # content-stable tags (the classes-mode model cache key) keep the bank
+    # and packed-table caches warm across generator invocations; raw id()
+    # keys changed every run and forced bank rebuilds
+    tags = tuple(
+        getattr(m, "_cache_tag", None) or ("id", id(m)) for m in models_list
+    )
+    bank_key = (tags, l_pad)
     bank = _DEVICE_BANK_CACHE.get(bank_key)
     if bank is None:
         try:
@@ -1219,6 +1225,10 @@ def run_glimmer_mg_classes(
             else:
                 models._meta_pwms = [genome_data.rbs_pwm(c) for c in classes]
 
+            # content-stable identity for the device-path caches (scoped
+            # by the GenomeData instance: same class names over different
+            # DBs must not collide)
+            models._cache_tag = ("cls", id(genome_data)) + cache_key
             model_cache[cache_key] = models
 
         quals = None

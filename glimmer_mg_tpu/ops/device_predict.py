@@ -166,6 +166,13 @@ def build_bank(models_list, max_read_len: int) -> DeviceBank:
             or not m.allow_truncated_orfs
         ):
             raise ValueError("device path needs uniform scalar models")
+    if m0.min_gene_len <= m0.max_olap_bases + 3:
+        # the DP's bounded disqualify/requalify walks rely on the
+        # best_pred graph being acyclic, which holds when every
+        # closer->opener hop (>= min_gene_len backward) outweighs any
+        # re-link hop (<= max_olap + 3 forward); tiny min_gene_len
+        # configurations stay on the host engine
+        raise ValueError("device path needs min_gene_len > max_olap + 3")
 
     gmip, gprobs = icm_score.stack_bank([m.gene_icm for m in models_list])
     imip, iprobs = icm_score.stack_bank([m.indep_model for m in models_list])
@@ -1402,25 +1409,34 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
             warnings.filterwarnings(
                 "ignore", message=".*dtype float64.*", category=UserWarning
             )
-        key = (cache_key, b, Lp, tuple(sorted(consts.items())))
+        # the jit takes the bank as an ARGUMENT pytree, so the compiled
+        # program is reused across chunks/runs with any bank of the same
+        # shapes (keying on bank identity forced a retrace per generator
+        # run — ~3 s of pure tracing per bench repetition)
+        key = (b, Lp, tuple(sorted(consts.items())), f64)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            bj = _bank_jnp(bank)
 
-            def run(reads, lengths, groups, gene6, ind6):
+            def run(bj, reads, lengths, groups, gene6, ind6):
                 def one(seq, n, gi, g6, i6):
                     return _predict_one(seq, n, gi, g6, i6, bj, Lp, consts)
 
-                return jax.vmap(one)(reads, lengths, groups, gene6, ind6)
+                return jax.vmap(
+                    one, in_axes=(0, 0, 0, 0, 0)
+                )(reads, lengths, groups, gene6, ind6)
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
 
+        bj = getattr(bank, "_jnp_cache", None)
+        if bj is None:
+            bj = _bank_jnp(bank)
+            bank._jnp_cache = bj
         pad = Lp - L0
         reads_p = jnp.pad(jnp.asarray(reads, jnp.int32), ((0, 0), (0, pad)))
         g6 = jnp.pad(jnp.asarray(gene6), ((0, 0), (0, 0), (0, pad)))
         i6 = jnp.pad(jnp.asarray(ind6), ((0, 0), (0, 0), (0, pad)))
-        out = fn(reads_p, jnp.asarray(lengths, jnp.int32),
+        out = fn(bj, reads_p, jnp.asarray(lengths, jnp.int32),
                  jnp.asarray(groups, jnp.int32), g6, i6)
         return [np.asarray(x) for x in jax.device_get(out)]
 
