@@ -312,9 +312,25 @@ def _use_native() -> bool:
 def _use_device_dp() -> bool:
     """Chip-resident prediction (on-device ORF scan + event DP): the whole
     per-read path runs on the accelerator and only gene calls cross the
-    link (ops.device_predict; SURVEY §7.4/§7.5). Opt-in via
-    GLIMMER_MG_TPU_DEVICE_DP=1."""
-    return os.environ.get("GLIMMER_MG_TPU_DEVICE_DP") == "1"
+    link (ops.device_predict; SURVEY §7.4/§7.5).
+
+    GLIMMER_MG_TPU_DEVICE_DP=1/0 forces it; by default it engages when an
+    accelerator is present but the native C++ engine is not — the
+    configuration where the chip beats the per-read Python fallback by
+    orders of magnitude."""
+    env = os.environ.get("GLIMMER_MG_TPU_DEVICE_DP")
+    if env is not None:
+        return env == "1"
+    from .. import native as native_mod
+
+    if native_mod.available():
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 _DEVICE_BANK_CACHE: dict = {}

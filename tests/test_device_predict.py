@@ -176,3 +176,45 @@ def test_f32_dp_parity(trained_models, monkeypatch):
     monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP_F32", raising=False)
     for (h, hg), (_d, dg) in zip(host, dev):
         assert _coords(hg) == _coords(dg), h
+
+
+def test_event_overflow_falls_back(trained_models, monkeypatch):
+    """Reads whose event count exceeds the device tensor capacity must be
+    detected per read and served by the host engine with identical
+    output. Forced by shrinking MAX_EVENTS."""
+    from glimmer_mg_tpu.ops import device_predict as dpk
+
+    gd, classes = trained_models
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    recs = recs[:40]
+    cls_map = {h.split()[0]: [classes[i % 2]]
+               for i, (h, _s) in enumerate(recs)}
+    monkeypatch.setattr(dpk, "MAX_EVENTS", 12)
+    dpk._JIT_CACHE.clear()
+    try:
+        host, dev = _run_both(recs, gd, cls_map, monkeypatch)
+    finally:
+        dpk._JIT_CACHE.clear()
+    n_genes = 0
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+        n_genes += len(hg)
+    assert n_genes > 0  # overflow reads really produced genes via fallback
+
+
+def test_default_engages_without_native(trained_models, monkeypatch):
+    """With the native engine unavailable and an accelerator present, the
+    device path is the default (no env var needed)."""
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    import glimmer_mg_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert mg._use_device_dp()
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not mg._use_device_dp()
+    monkeypatch.setattr(native_mod, "available", lambda: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not mg._use_device_dp()
