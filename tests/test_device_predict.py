@@ -218,3 +218,49 @@ def test_default_engages_without_native(trained_models, monkeypatch):
     monkeypatch.setattr(native_mod, "available", lambda: True)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert not mg._use_device_dp()
+
+
+def test_fuzz_overlap_dense(trained_models, monkeypatch):
+    """Adversarial re-link stress: reads built from tightly packed /
+    overlapping gene-like segments on both strands, so closures fire with
+    many openers inside the 50 bp window (the vectorized re-link +
+    disqualify/requalify machinery must match the host exactly)."""
+    gd, classes = trained_models
+    rng = np.random.default_rng(41)
+    reads = []
+    cls_map = {}
+
+    def gene_like(ncod, gc):
+        # class-GC-matched codons so the trained ICMs actually score them
+        p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+        cs = []
+        while len(cs) < ncod:
+            c = "".join(rng.choice(list("acgt"), 3, p=p))
+            if c not in ("taa", "tag", "tga"):
+                cs.append(c)
+        return "atg" + "".join(cs) + str(rng.choice(["taa", "tag", "tga"]))
+
+    for i in range(60):
+        gc = (0.38, 0.58)[i % 2]
+        parts = []
+        total = 0
+        while total < 450:
+            g = gene_like(int(rng.integers(30, 80)), gc)
+            if rng.random() < 0.5:
+                g = g[::-1].translate(str.maketrans("acgt", "tgca"))
+            ov = int(rng.integers(0, 45))  # overlap previous segment
+            if parts and ov:
+                joined = "".join(parts)
+                parts = [joined[: max(0, len(joined) - ov)]]
+            parts.append(g)
+            total = sum(len(p) for p in parts)
+        seq = "".join(parts)[:500]
+        rid = f"ov{i}"
+        reads.append((rid, seq))
+        cls_map[rid] = [classes[i % 2]]
+    host, dev = _run_both(reads, gd, cls_map, monkeypatch)
+    n_genes = 0
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+        n_genes += len(hg)
+    assert n_genes > 15  # dense input really generated genes (26 measured)
