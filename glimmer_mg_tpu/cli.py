@@ -243,6 +243,10 @@ def cmd_glimmer_mg(argv):
                     "ICM_dir at compile time)")
         gd = GenomeData(a.genome_data)
         cls_map = parse_classes(a.classes)
+        if a.num_procs < 1 or not 0 <= a.proc_id < a.num_procs:
+            # an out-of-range proc_id would silently write an empty
+            # .predict.partN, dropping reads at merge time
+            p.error("--proc_id must satisfy 0 <= proc_id < num_procs")
         if a.num_procs > 1:
             # contiguous slice of the deterministic emission order; the
             # reads in this slice are predicted independently of every

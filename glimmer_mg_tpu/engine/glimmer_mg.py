@@ -32,7 +32,9 @@ recompute, as with this rig's tunneled chip).
 
 from __future__ import annotations
 
+import itertools
 import os
+from collections import OrderedDict
 
 import numpy as np
 
@@ -206,7 +208,8 @@ def device_frame_scores_dispatch(jobs):
     if use_pallas:
         from ..ops import icm_pallas
 
-        cache_key = (tuple(id(m) for m in gene_list), g_pad, depth)
+        cache_key = (tuple(_stable_tag(m, "icm") for m in gene_list),
+                     g_pad, depth)
         gene, ind = icm_pallas.mg_six_frame_pallas(
             gmip, gprobs, imip, iprobs, reads, lens, grp,
             model_len=model_len, depth=depth, gene_periodicity=periodicity,
@@ -305,6 +308,35 @@ def _native_predict(pending_jobs, fs_list, allow_indels, allow_subs):
     )
 
 
+_SERIAL = itertools.count()
+
+
+def _stable_tag(obj, kind: str):
+    """Process-unique, never-reused identity for process-wide cache keys.
+
+    ``id()`` can be reused after the object is garbage-collected, so a
+    module-global cache keyed on it can silently serve a stale bank built
+    from a dead object's tables (r4 advisor, medium). The serial is
+    stamped on the object once and never reissued.
+    """
+    tag = getattr(obj, "_gmg_cache_serial", None)
+    if tag is None:
+        tag = (kind, next(_SERIAL))
+        try:
+            object.__setattr__(obj, "_gmg_cache_serial", tag)
+        except Exception:
+            pass  # unsettable object: fresh tag per call (cache miss, safe)
+    return tag
+
+
+def _lru_put(cache, key, val, cap: int) -> None:
+    """Insert into an OrderedDict LRU bounded at ``cap`` entries."""
+    cache[key] = val
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
+
+
 def _use_native() -> bool:
     return os.environ.get("GLIMMER_MG_TPU_NATIVE") != "0"
 
@@ -333,7 +365,10 @@ def _use_device_dp() -> bool:
         return False
 
 
-_DEVICE_BANK_CACHE: dict = {}
+# LRU-bounded: banks are large (numpy tables + _jnp_cache device arrays)
+# and long-lived processes can see many (models, length-bucket) pairs.
+_DEVICE_BANK_CACHE: OrderedDict = OrderedDict()
+_DEVICE_BANK_CAP = 8
 
 
 def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
@@ -374,16 +409,19 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
     # and packed-table caches warm across generator invocations; raw id()
     # keys changed every run and forced bank rebuilds
     tags = tuple(
-        getattr(m, "_cache_tag", None) or ("id", id(m)) for m in models_list
+        getattr(m, "_cache_tag", None) or _stable_tag(m, "m")
+        for m in models_list
     )
     bank_key = (tags, l_pad)
     bank = _DEVICE_BANK_CACHE.get(bank_key)
-    if bank is None:
+    if bank is not None:
+        _DEVICE_BANK_CACHE.move_to_end(bank_key)
+    else:
         try:
             bank = dpk.build_bank(models_list, max_read_len=l_pad)
         except ValueError:
             return None
-        _DEVICE_BANK_CACHE[bank_key] = bank
+        _lru_put(_DEVICE_BANK_CACHE, bank_key, bank, _DEVICE_BANK_CAP)
 
     reads = np.zeros((b_pad, l_pad), dtype=np.int32)
     for r, (seq_idx, *_rest) in enumerate(pending_jobs):
@@ -1244,7 +1282,9 @@ def run_glimmer_mg_classes(
             # content-stable identity for the device-path caches (scoped
             # by the GenomeData instance: same class names over different
             # DBs must not collide)
-            models._cache_tag = ("cls", id(genome_data)) + cache_key
+            models._cache_tag = (
+                ("cls", _stable_tag(genome_data, "gd")) + cache_key
+            )
             model_cache[cache_key] = models
 
         quals = None

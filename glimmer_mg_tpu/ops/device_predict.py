@@ -959,10 +959,11 @@ def _assemble_events(fam, Lp):
 
     valid = cat("valid")
     pos = cat("pos").astype(jnp.int32)
-    k = valid.shape[0]
-    rank = jnp.arange(k, dtype=jnp.int32)
-    sort_key = jnp.where(valid, pos * 8192 + rank, jnp.int32(2**30))
-    order = jnp.argsort(sort_key)[:MAX_EVENTS]
+    # rank (family-enumeration order) == concatenation order, so a STABLE
+    # sort on pos alone yields pos-then-rank order for any read length —
+    # no packed key, no overflow for Lp beyond ~1.4 kb (r4 advisor high).
+    sort_key = jnp.where(valid, pos, jnp.int32(2**30))
+    order = jnp.argsort(sort_key, stable=True)[:MAX_EVENTS]
 
     ev = {
         "pos": pos[order],
@@ -1350,7 +1351,13 @@ def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events
 
 
-_JIT_CACHE: dict = {}
+# LRU-bounded: one compiled executable per (batch, length-bucket, consts)
+# combination — long-lived processes over many length buckets must not
+# accumulate executables without bound (r4 advisor, low).
+from collections import OrderedDict as _OrderedDict
+
+_JIT_CACHE: _OrderedDict = _OrderedDict()
+_JIT_CACHE_CAP = 32
 
 
 def _bank_jnp(bank: DeviceBank):
@@ -1415,7 +1422,9 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         # run — ~3 s of pure tracing per bench repetition)
         key = (b, Lp, tuple(sorted(consts.items())), f64)
         fn = _JIT_CACHE.get(key)
-        if fn is None:
+        if fn is not None:
+            _JIT_CACHE.move_to_end(key)
+        else:
 
             def run(bj, reads, lengths, groups, gene6, ind6):
                 def one(seq, n, gi, g6, i6):
@@ -1427,6 +1436,8 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
+            while len(_JIT_CACHE) > _JIT_CACHE_CAP:
+                _JIT_CACHE.popitem(last=False)
 
         bj = getattr(bank, "_jnp_cache", None)
         if bj is None:

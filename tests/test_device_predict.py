@@ -220,6 +220,49 @@ def test_default_engages_without_native(trained_models, monkeypatch):
     assert not mg._use_device_dp()
 
 
+def test_long_reads_parity(trained_models, monkeypatch):
+    """Reads past the old packed-sort-key bound (~1.4 kb): the event order
+    must stay pos-then-family for any padded length (r4 advisor high —
+    pos*8192+rank overflowed its bucket above Lp~1360). Gene-dense long
+    reads device vs host."""
+    gd, classes = trained_models
+    rng = np.random.default_rng(53)
+    reads = []
+    cls_map = {}
+
+    def gene_like(ncod, gc):
+        p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+        cs = []
+        while len(cs) < ncod:
+            c = "".join(rng.choice(list("acgt"), 3, p=p))
+            if c not in ("taa", "tag", "tga"):
+                cs.append(c)
+        return "atg" + "".join(cs) + str(rng.choice(["taa", "tag", "tga"]))
+
+    for i in range(10):
+        gc = (0.38, 0.58)[i % 2]
+        parts = []
+        total = 0
+        target = int(rng.integers(1450, 2100))
+        while total < target:
+            parts.append("".join(
+                rng.choice(list("acgt"), int(rng.integers(20, 80)))))
+            g = gene_like(int(rng.integers(40, 150)), gc)
+            if rng.random() < 0.5:
+                g = g[::-1].translate(str.maketrans("acgt", "tgca"))
+            parts.append(g)
+            total = sum(len(x) for x in parts)
+        rid = f"lr{i}"
+        reads.append((rid, "".join(parts)[:target]))
+        cls_map[rid] = [classes[i % 2]]
+    host, dev = _run_both(reads, gd, cls_map, monkeypatch)
+    n_genes = 0
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+        n_genes += len(hg)
+    assert n_genes > 5  # long reads really produced genes (9 measured)
+
+
 def test_fuzz_overlap_dense(trained_models, monkeypatch):
     """Adversarial re-link stress: reads built from tightly packed /
     overlapping gene-like segments on both strands, so closures fire with
