@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -1287,14 +1288,460 @@ def _traceback(ev, score, bp, best, ne=None):
 
 
 # ---------------------------------------------------------------------------
+# Batched event DP (no vmap): the TPU-fast formulation
+#
+# Identical math to _event_dp/_traceback, rewritten over (B, E) arrays.
+# Why: under vmap, per-lane fancy-index gathers (`score[bp]`, `best[sub]`,
+# chain-walk hops) lower to XLA batched gathers that run ~1.9 ms/op on this
+# chip, ~1500x slower than the plain same-shape take_along_axis form
+# (measured r5: the whole per-lane DP was ~9 ms/step; every op class
+# micro-benches at ~1 us/step in batched form). Rules used here:
+#   - (B,E)<-(B,E) gathers: jnp.take_along_axis (the only fast gather form)
+#   - per-lane single-index gathers: one-hot masked reductions
+#   - tiny tables ((B,6) best, (B,3) lens): explicit k-way selects
+#   - adjacency tables: padded to width E so distance lookups become three
+#     same-shape take_along_axis calls + a 3-way select
+#   - per-lane scatters: one-hot jnp.where, shared-index scatters:
+#     a.at[:, e].set (dynamic-update-slice)
+# ---------------------------------------------------------------------------
+
+
+def _oh_at(a, idx):
+    """Batched ``a[clip(idx, 0)]``: per-lane single-index gather via a
+    one-hot masked sum (a: (B, E) or (1, E)-broadcastable, idx: (B,))."""
+    import jax.numpy as jnp
+
+    E = a.shape[-1]
+    je2 = jnp.arange(E, dtype=jnp.int32)[None, :]
+    oh = je2 == jnp.clip(idx, 0, E - 1)[:, None]
+    return jnp.sum(
+        jnp.where(oh, a, jnp.zeros((), a.dtype)), axis=1
+    ).astype(a.dtype)
+
+
+def _sel3(cols, ti):
+    """cols: (B, 3); ti: (B, E) in {0,1,2} -> (B, E)."""
+    import jax.numpy as jnp
+
+    return jnp.where(
+        ti == 0, cols[:, 0:1], jnp.where(ti == 1, cols[:, 1:2], cols[:, 2:3])
+    )
+
+
+def _sel6(cols, ti):
+    """cols: (B, 6); ti: (B, E) in {0..5} -> (B, E)."""
+    import jax.numpy as jnp
+
+    out = jnp.broadcast_to(cols[:, 0:1], ti.shape)
+    for k in range(1, 6):
+        out = jnp.where(ti == k, cols[:, k:k + 1], out)
+    return out
+
+
+def _prefetch_adj(bank, groups, E: int):
+    """Per-lane adjacency tables, gathered by group ONCE per batch (the
+    per-group gather is a slow XLA form — it must stay out of the DP loop).
+    Returns dict with ao (B,4), dl (B,3), tab0/1/2 (B,max(E,D)), D."""
+    import jax.numpy as jnp
+
+    ao = bank["adj_or"][groups]            # (B, 4)
+    ad = bank["adj_dist"][groups]          # (B, 3, D)
+    dl = bank["adj_dist_len"][groups]      # (B, 3)
+    D = ad.shape[2]
+    W = max(E, D)
+    if W > D:
+        ad = jnp.pad(ad, ((0, 0), (0, 0), (0, W - D)))
+    return dict(ao=ao, dl=dl, tab0=ad[:, 0], tab1=ad[:, 1], tab2=ad[:, 2],
+                D=D, W=W)
+
+
+def _adj_pair_batched(adj, max_olap, t1, succ_fs, dist, tabs=None):
+    """Batched _adj_pair: (AdjOr, AdjDist) f32 pieces (gene.cc:733-770,
+    798-925). t1/succ_fs/dist broadcast to (B, E).
+
+    ``tabs``: the distance tables THREADED THROUGH THE LOOP CARRY. XLA's
+    TPU gather is ~1500x slower when the operand is a loop-invariant
+    capture than when it flows through the carry (measured r5); callers
+    inside fori/while loops must pass the carried copies."""
+    import jax.numpy as jnp
+
+    ao = adj["ao"]
+    if tabs is None:
+        tabs = (adj["tab0"], adj["tab1"], adj["tab2"])
+    is_c2 = t1 == E_FWD_STOP
+    is_c3 = t1 == E_REV_START
+    zero = F32(0.0)
+    or_s = jnp.where(
+        is_c2,
+        jnp.where(succ_fs, ao[:, 0:1], ao[:, 1:2]),
+        jnp.where(is_c3, jnp.where(succ_fs, ao[:, 2:3], ao[:, 3:4]), zero),
+    )
+    ti = jnp.where(
+        is_c2,
+        jnp.where(succ_fs, 0, 1),
+        jnp.where(succ_fs, 2, 0),  # REV_START->REV_STOP reuses ff
+    )
+    ti = jnp.broadcast_to(ti, jnp.broadcast_shapes(ti.shape, dist.shape))
+    dl = _sel3(adj["dl"], ti)
+    idx = dist + max_olap
+    idx = jnp.broadcast_to(idx, ti.shape)
+    ok = (idx >= 0) & (idx < dl)
+    D = adj["D"]
+    idx_eff = jnp.where(
+        ok, jnp.clip(idx, 0, D - 1), jnp.clip(dl - 1, 0, D - 1)
+    )
+    v0 = jnp.take_along_axis(tabs[0], idx_eff, axis=1)
+    v1 = jnp.take_along_axis(tabs[1], idx_eff, axis=1)
+    v2 = jnp.take_along_axis(tabs[2], idx_eff, axis=1)
+    val = jnp.where(ti == 0, v0, jnp.where(ti == 1, v1, v2))
+    di_s = jnp.where(is_c2 | is_c3, val, zero)
+    return or_s, di_s
+
+
+def _event_dp_batched(ev, adj, consts, ne):
+    """Batched _event_dp: identical semantics over (B, E) arrays.
+
+    ev arrays: (B, E); ne: (B,). The loop runs to max(ne); lanes whose
+    events are exhausted see typ == 0 padding rows (inactive), exactly as
+    the per-lane fori bound made them no-ops."""
+    import jax
+    import jax.numpy as jnp
+
+    B, E = ev["pos"].shape
+    pos0, typ0, sub0, eid0 = ev["pos"], ev["typ"], ev["sub"], ev["id"]
+    max_olap = consts["max_olap"]
+    je2 = jnp.arange(E, dtype=jnp.int32)[None, :]
+    col1 = lambda a, e: jax.lax.dynamic_slice_in_dim(a, e, 1, axis=1)
+
+    def opener_best(e, score, bp, disq, best, processed, typ, pos, sub,
+                    tabs):
+        typ_e = col1(typ, e)
+        pos_e = col1(pos, e)
+        succ_fs = typ_e == E_FWD_START
+        dist = pos_e - pos - 3
+        or_s, di_s = _adj_pair_batched(adj, max_olap, typ, succ_fs, dist,
+                                       tabs)
+        cand_f32 = (
+            score + or_s.astype(jnp.float64) + di_s.astype(jnp.float64)
+        ).astype(jnp.float32)
+
+        best_of_sub = _sel6(best, sub)
+        between = (
+            processed
+            & ((typ == E_FWD_STOP) | (typ == E_REV_START))
+            & (score > 0.0)
+            & (je2 > best_of_sub)
+        )
+        rank_btw = (sub + 1) * (2 * E) + (E - je2)
+
+        extra = jnp.zeros((B, E), dtype=bool)
+        ei_cols = []
+        for i in range(6):
+            bei = best[:, i]
+            has = bei >= 0
+            btyp = jnp.where(
+                has, _oh_at(typ, bei), jnp.int32(-1)
+            )
+            k_mask = processed & (sub == i) & (je2 <= bei[:, None])
+            m_i = jnp.max(
+                jnp.where(k_mask & (typ != E_REV_START), je2, -1), axis=1
+            )
+            fr_extra = jnp.where(
+                (btyp == E_FWD_STOP)[:, None],
+                je2 == bei[:, None],
+                jnp.where(
+                    (btyp == E_REV_START)[:, None],
+                    k_mask & (je2 > m_i[:, None]),
+                    False,
+                ),
+            )
+            extra = extra | fr_extra
+            ei_cols.append(
+                jnp.where(has, -jnp.inf, jnp.float32(0.0)).astype(jnp.float32)
+            )
+        extra_init_score = jnp.stack(ei_cols, axis=1)  # (B, 6)
+        rank_ext = (sub + 1) * (2 * E) + E + (E - je2)
+
+        cand_mask = between | extra
+        rank = jnp.where(between, rank_btw, rank_ext)
+
+        b0 = best[:, 0]
+        init_score = jnp.where(
+            b0 >= 0, _oh_at(cand_f32, b0), jnp.float32(0.0)
+        )
+        init_idx = b0  # -1 when INITIAL
+
+        scores_all = jnp.concatenate(
+            [jnp.where(cand_mask, cand_f32, -jnp.inf),
+             init_score[:, None], extra_init_score], axis=1
+        )
+        ranks_all = jnp.concatenate(
+            [jnp.broadcast_to(rank, (B, E)),
+             jnp.zeros((B, 1), jnp.int32),
+             jnp.broadcast_to(
+                 (jnp.arange(6, dtype=jnp.int32)[None, :] + 1) * (2 * E) + E,
+                 (B, 6))], axis=1
+        )
+        idx_all = jnp.concatenate(
+            [jnp.broadcast_to(je2, (B, E)), init_idx[:, None],
+             jnp.full((B, 6), -1, jnp.int32)], axis=1
+        )
+        m = jnp.max(scores_all, axis=1)
+        winner_rank = jnp.min(
+            jnp.where(scores_all == m[:, None], ranks_all, BIG), axis=1
+        )
+        wsel = (scores_all == m[:, None]) & (ranks_all == winner_rank[:, None])
+        w = jnp.argmax(wsel, axis=1).astype(jnp.int32)
+        j_all = jnp.arange(E + 7, dtype=jnp.int32)[None, :]
+        widx = jnp.sum(
+            jnp.where(j_all == w[:, None], idx_all, 0), axis=1
+        ).astype(jnp.int32)
+        return m, widx
+
+    def walk_set(disq, bp, q0, cutoff, value, pos):
+        # Disqualify/Requalify chain walk, all lanes advanced jointly with
+        # per-lane active masks; same E-iteration safety bound. pos/bp are
+        # threaded through the while carry (fast-gather requirement).
+        def cond(c):
+            q, _d, it, posc, _bpc = c
+            pos_q = jnp.where(q >= 0, _oh_at(posc, q), -BIG)
+            return jnp.any((q >= 0) & (pos_q >= cutoff)) & (it < E)
+
+        def body(c):
+            q, d, it, posc, bpc = c
+            pos_q = jnp.where(q >= 0, _oh_at(posc, q), -BIG)
+            act = (q >= 0) & (pos_q >= cutoff)
+            ohq = (je2 == jnp.clip(q, 0, E - 1)[:, None]) & act[:, None]
+            d = jnp.where(ohq, value, d)
+            q = jnp.where(act, _oh_at(bpc, q), q)
+            return q, d, it + 1, posc, bpc
+
+        _q, disq, _it, _p, _b = jax.lax.while_loop(
+            cond, body, (q0, disq, jnp.int32(0), pos, bp)
+        )
+        return disq
+
+    def step(e, st):
+        score, bp, disq, best, typ, pos, sub, eid, t0, t1, t2 = st
+        tabs = (t0, t1, t2)
+        te = typ[:, e]
+        pos_e_v = pos[:, e]
+        sub_e = sub[:, e]
+        eid_e = eid[:, e]
+        score_e = score[:, e]
+        active = te != 0
+        is_open = (te == E_FWD_START) | (te == E_REV_STOP)
+        is_fs = te == E_FWD_STOP
+        is_rs = te == E_REV_START
+        processed = je2 < e  # (1, E) shared across lanes
+
+        m_open, w_open = opener_best(e, score, bp, disq, best, processed,
+                                     typ, pos, sub, tabs)
+
+        cand_id = processed & (sub == sub_e[:, None]) & (eid == eid_e[:, None])
+        m_fs = jnp.max(jnp.where(cand_id, score, -jnp.inf), axis=1)
+        w_fs = jnp.max(
+            jnp.where(cand_id & (score == m_fs[:, None]), je2, -1), axis=1
+        ).astype(jnp.int32)
+        p_rs = jnp.max(
+            jnp.where(cand_id & (typ != E_REV_START), je2, -1), axis=1
+        ).astype(jnp.int32)
+        score_at_prs = _oh_at(score, p_rs)
+
+        new_e_score = jnp.where(
+            is_open, score_e + m_open.astype(score.dtype),
+            jnp.where(
+                is_fs, m_fs,
+                jnp.where(is_rs, score_e + score_at_prs, score_e),
+            ),
+        )
+        new_e_bp = jnp.where(
+            is_open, w_open,
+            jnp.where(is_fs, w_fs, jnp.where(is_rs, p_rs, bp[:, e])),
+        )
+        score = score.at[:, e].set(jnp.where(active, new_e_score, score_e))
+        bp = bp.at[:, e].set(jnp.where(active, new_e_bp, bp[:, e]))
+        score_e = score[:, e]
+
+        # ---- closure (Process_Fwd_Stop_Rev_Start tail), masked by `do` ----
+        f = sub_e
+        be = jnp.sum(
+            jnp.where(jnp.arange(6)[None, :] == f[:, None], best, 0), axis=1
+        ).astype(jnp.int32)
+        be_s = jnp.where(be >= 0, _oh_at(score, be), jnp.zeros((), score.dtype))
+        do = (is_fs | is_rs) & (be_s < score_e)
+        p_disq = jnp.where(is_rs, p_rs, -1)
+        cutoff = 3 + pos_e_v - max_olap
+        bp_at_pd = _oh_at(bp, p_disq)
+        q0 = jnp.where(do & (p_disq >= 0), bp_at_pd, -1)
+        disq = walk_set(disq, bp, q0, cutoff, True, pos)
+        oh6 = jnp.arange(6)[None, :] == f[:, None]
+        best = jnp.where(oh6 & do[:, None], e, best).astype(jnp.int32)
+
+        window = processed & (3 + pos_e_v[:, None] - pos <= max_olap)
+        opener_m = (typ == E_FWD_START) | (typ == E_REV_STOP)
+        bpj = bp
+        bpj_c = jnp.clip(bpj, 0, E - 1)
+        needed = jnp.where(
+            bpj >= 0, jnp.take_along_axis(score, bpj_c, axis=1),
+            jnp.zeros((), score.dtype)
+        )
+        cand = (do[:, None] & window & ~disq & opener_m
+                & (needed < score_e[:, None]))
+
+        # old adjacency: (p.best_pred -> p); INITIAL pred -> 0
+        succ_fs = typ == E_FWD_START
+        bp_typ = jnp.where(
+            bpj >= 0, jnp.take_along_axis(typ, bpj_c, axis=1), 0
+        )
+        bp_pos = jnp.take_along_axis(pos, bpj_c, axis=1)
+        oo, od = _adj_pair_batched(
+            adj, max_olap, bp_typ, succ_fs, pos - bp_pos - 3, tabs
+        )
+        old_adj = jnp.where(bpj >= 0, oo + od, F32(0.0))
+        no_, nd = _adj_pair_batched(
+            adj, max_olap, te[:, None], succ_fs,
+            pos - pos_e_v[:, None] - 3, tabs
+        )
+        new_adj = no_ + nd
+        diff = ((score_e[:, None] - needed)
+                + (new_adj - old_adj).astype(score.dtype))
+        upd = cand & (diff > 0.0)
+        prop = (
+            processed
+            & (bpj >= 0)
+            & jnp.take_along_axis(upd, bpj_c, axis=1)
+            & (sub == jnp.take_along_axis(sub, bpj_c, axis=1))
+            & (je2 > bpj)
+        )
+        delta = (jnp.where(upd, diff, 0.0)
+                 + jnp.where(prop, jnp.take_along_axis(diff, bpj_c, axis=1),
+                             0.0))
+        score = score + delta
+        bp = jnp.where(upd, e, bp).astype(jnp.int32)
+
+        bp_at_pd2 = _oh_at(bp, p_disq)
+        q0b = jnp.where(do & (p_disq >= 0), bp_at_pd2, -1)
+        disq = walk_set(disq, bp, q0b, cutoff, False, pos)
+        return score, bp, disq, best, typ, pos, sub, eid, t0, t1, t2
+
+    # the static event arrays and adjacency tables ride the carry so every
+    # take_along_axis sees a carried operand (the fast TPU gather form)
+    init = (
+        ev["score"],
+        jnp.full((B, E), -2, jnp.int32),
+        jnp.zeros((B, E), dtype=bool),
+        jnp.full((B, 6), -1, jnp.int32),
+        typ0, pos0, sub0, eid0,
+        adj["tab0"], adj["tab1"], adj["tab2"],
+    )
+    hi = jnp.max(jnp.minimum(ne, E)) if ne is not None else E
+    out = jax.lax.fori_loop(0, hi, step, init)
+    score, bp, disq, best = out[0], out[1], out[2], out[3]
+    return score, bp, best
+
+
+def _traceback_batched(ev, score, bp, best, ne):
+    """Batched _traceback: Set_Final_Event + Trace_Back over (B, E)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, E = ev["pos"].shape
+    pos, typ, eid, trunc = ev["pos"], ev["typ"], ev["id"], ev["trunc"]
+    je2 = jnp.arange(E, dtype=jnp.int32)[None, :]
+    jg = jnp.arange(MAX_GENES, dtype=jnp.int32)[None, :]
+
+    s6 = jnp.where(best >= 0, 0.0, 0.0).astype(score.dtype)
+    cols = []
+    for i in range(6):
+        cols.append(jnp.where(
+            best[:, i] >= 0, _oh_at(score, best[:, i]),
+            jnp.zeros((), score.dtype)))
+    s6 = jnp.stack(cols, axis=1)  # (B, 6)
+    fe = best[:, 0]
+    fs = s6[:, 0]
+    for i in range(1, 6):
+        take = s6[:, i] >= fs
+        fe = jnp.where(take, best[:, i], fe)
+        fs = jnp.where(take, s6[:, i], fs)
+
+    def body(_k, st):
+        (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
+         g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
+        active = p >= 0
+        pc = jnp.clip(p, 0, E - 1)
+        ohp = je2 == pc[:, None]
+
+        def get(a, dt):
+            return jnp.sum(
+                jnp.where(ohp, a, jnp.zeros((), dt)), axis=1
+            ).astype(dt)
+
+        typ_p = get(typ, typ.dtype)
+        bpp = get(bp, bp.dtype)
+        score_p = get(score, score.dtype)
+        eid_p = get(eid, eid.dtype)
+        pos_p = get(pos, pos.dtype)
+        trunc_p = get(trunc.astype(jnp.int32), jnp.int32).astype(bool)
+        tp = jnp.where(active, typ_p, 0)
+
+        emit_f = tp == E_FWD_START
+        emit_r = tp == E_REV_STOP
+        emit = emit_f | emit_r
+        score_bpp = jnp.where(
+            bpp >= 0, _oh_at(score, bpp), jnp.zeros((), score.dtype)
+        )
+        sc_f = score_p - score_bpp
+        rec_id = eid_p
+        rec_stop = jnp.where(emit_f, cur_stop, pos_p - 2)
+        rec_len = jnp.where(
+            emit_f, 2 + cur_stop - pos_p, rev_start_pos - pos_p
+        )
+        rec_sign = jnp.where(emit_f, jnp.int32(1), jnp.int32(-1))
+        rec_trunc = jnp.where(emit_f, trunc_p, rev_trunc)
+        rec_score = jnp.where(emit_f, sc_f, prev_score - score_p)
+
+        slot = jnp.clip(cnt, 0, MAX_GENES - 1)
+        ohs = (jg == slot[:, None]) & emit[:, None]
+        g_id = jnp.where(ohs, rec_id[:, None], g_id)
+        g_stop = jnp.where(ohs, rec_stop[:, None], g_stop)
+        g_len = jnp.where(ohs, rec_len[:, None], g_len)
+        g_sign = jnp.where(ohs, rec_sign[:, None], g_sign)
+        g_trunc = jnp.where(ohs, rec_trunc[:, None], g_trunc)
+        g_score = jnp.where(ohs, rec_score[:, None], g_score)
+        cnt = cnt + emit.astype(jnp.int32)
+
+        cur_stop = jnp.where(tp == E_FWD_STOP, pos_p - 2,
+                             jnp.where(emit_r, pos_p - 2, cur_stop))
+        rev_start_pos = jnp.where(tp == E_REV_START, pos_p, rev_start_pos)
+        prev_score = jnp.where(tp == E_REV_START, score_p, prev_score)
+        rev_trunc = jnp.where(tp == E_REV_START, trunc_p, rev_trunc)
+
+        p = jnp.where(active, bpp, p)
+        return (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
+                g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt)
+
+    zi = jnp.zeros((B,), jnp.int32)
+    zg = jnp.zeros((B, MAX_GENES), jnp.int32)
+    st = (fe, zi, zi, jnp.zeros((B,), jnp.float64), jnp.zeros((B,), bool),
+          zg, zg, zg, zg, jnp.zeros((B, MAX_GENES), bool),
+          jnp.zeros((B, MAX_GENES), jnp.float64), zi)
+    hi = jnp.max(jnp.minimum(ne, E)) if ne is not None else E
+    st = jax.lax.fori_loop(0, hi, body, st)
+    (_p, _cs, _rs, _ps, _rt,
+     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
+    return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt
+
+
+# ---------------------------------------------------------------------------
 # Top level: one read end-to-end, batch wrapper, host finish
 # ---------------------------------------------------------------------------
 
 
-def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+    """Per-read candidate construction: ORF slots, start scoring, event
+    assembly — everything before the event DP. Returns (ev, n_events)."""
     import jax.numpy as jnp
-
-    ne_cap = consts.get("ne_cap", MAX_EVENTS)
 
     t = _read_tables(seq, n, gi, bank)
     fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"])
@@ -1343,6 +1790,14 @@ def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     for f in fams:
         f.pop("slot", None)
     ev, n_events = _assemble_events(fams, Lp)
+    return ev, n_events
+
+
+def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+    import jax.numpy as jnp
+
+    ne_cap = consts.get("ne_cap", MAX_EVENTS)
+    ev, n_events = _frontend_one(seq, n, gi, gene6, ind6, bank, Lp, consts)
     ne = jnp.minimum(n_events, ne_cap)
     score, bp, best = _event_dp(ev, gi, bank, consts, ne)
     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt = _traceback(
@@ -1425,14 +1880,36 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         if fn is not None:
             _JIT_CACHE.move_to_end(key)
         else:
+            batched = os.environ.get("GLIMMER_MG_TPU_DP_BATCHED", "1") == "1"
 
-            def run(bj, reads, lengths, groups, gene6, ind6):
-                def one(seq, n, gi, g6, i6):
-                    return _predict_one(seq, n, gi, g6, i6, bj, Lp, consts)
+            if batched:
 
-                return jax.vmap(
-                    one, in_axes=(0, 0, 0, 0, 0)
-                )(reads, lengths, groups, gene6, ind6)
+                def run(bj, reads, lengths, groups, gene6, ind6):
+                    def front(seq, n, gi, g6, i6):
+                        return _frontend_one(seq, n, gi, g6, i6, bj, Lp,
+                                             consts)
+
+                    ev, n_events = jax.vmap(
+                        front, in_axes=(0, 0, 0, 0, 0)
+                    )(reads, lengths, groups, gene6, ind6)
+                    ne_cap = consts.get("ne_cap", MAX_EVENTS)
+                    ne = jnp.minimum(n_events, ne_cap)
+                    adjb = _prefetch_adj(bj, groups, MAX_EVENTS)
+                    score, bp_arr, best = _event_dp_batched(
+                        ev, adjb, consts, ne)
+                    outs = _traceback_batched(ev, score, bp_arr, best, ne)
+                    return (*outs, n_events)
+
+            else:
+
+                def run(bj, reads, lengths, groups, gene6, ind6):
+                    def one(seq, n, gi, g6, i6):
+                        return _predict_one(seq, n, gi, g6, i6, bj, Lp,
+                                            consts)
+
+                    return jax.vmap(
+                        one, in_axes=(0, 0, 0, 0, 0)
+                    )(reads, lengths, groups, gene6, ind6)
 
             fn = jax.jit(run)
             _JIT_CACHE[key] = fn
