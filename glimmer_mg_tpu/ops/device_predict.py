@@ -1341,61 +1341,85 @@ def _sel6(cols, ti):
 def _prefetch_adj(bank, groups, E: int):
     """Per-lane adjacency tables, gathered by group ONCE per batch (the
     per-group gather is a slow XLA form — it must stay out of the DP loop).
-    Returns dict with ao (B,4), dl (B,3), tab0/1/2 (B,max(E,D)), D."""
+
+    Returns dict with ao (B,4) f32, dl (B,3) i32, tab0/1/2 (B,D) f32,
+    satv (B,3) f32 = tab[t, dl[t]-1] (the reference's `.back()` saturation
+    value, gene.cc:798-925), and D."""
     import jax.numpy as jnp
 
     ao = bank["adj_or"][groups]            # (B, 4)
     ad = bank["adj_dist"][groups]          # (B, 3, D)
     dl = bank["adj_dist_len"][groups]      # (B, 3)
     D = ad.shape[2]
-    W = max(E, D)
-    if W > D:
-        ad = jnp.pad(ad, ((0, 0), (0, 0), (0, W - D)))
+    jd = jnp.arange(D, dtype=jnp.int32)[None, :]
+    sat_cols = []
+    for t in range(3):
+        ohl = jd == jnp.clip(dl[:, t] - 1, 0, D - 1)[:, None]
+        sat_cols.append(jnp.sum(jnp.where(ohl, ad[:, t], 0.0), axis=1))
+    satv = jnp.stack(sat_cols, axis=1).astype(jnp.float32)  # (B, 3)
     return dict(ao=ao, dl=dl, tab0=ad[:, 0], tab1=ad[:, 1], tab2=ad[:, 2],
-                D=D, W=W)
+                satv=satv, D=D)
 
 
-def _adj_pair_batched(adj, max_olap, t1, succ_fs, dist, tabs=None):
-    """Batched _adj_pair: (AdjOr, AdjDist) f32 pieces (gene.cc:733-770,
-    798-925). t1/succ_fs/dist broadcast to (B, E).
+def _adj_ti(t1, succ_fs):
+    """AdjDist table index for pred type t1 -> successor (gene.cc:798-925);
+    REV_START->REV_STOP reuses ff."""
+    import jax.numpy as jnp
 
-    ``tabs``: the distance tables THREADED THROUGH THE LOOP CARRY. XLA's
-    TPU gather is ~1500x slower when the operand is a loop-invariant
-    capture than when it flows through the carry (measured r5); callers
-    inside fori/while loops must pass the carried copies."""
+    is_c2 = t1 == E_FWD_STOP
+    return jnp.where(
+        is_c2,
+        jnp.where(succ_fs, 0, 1),
+        jnp.where(succ_fs, 2, 0),
+    )
+
+
+def _adj_or_b(adj, t1, succ_fs):
+    """AdjOr piece: pure selects over the per-lane (B, 4) log-odds."""
     import jax.numpy as jnp
 
     ao = adj["ao"]
-    if tabs is None:
-        tabs = (adj["tab0"], adj["tab1"], adj["tab2"])
     is_c2 = t1 == E_FWD_STOP
     is_c3 = t1 == E_REV_START
-    zero = F32(0.0)
-    or_s = jnp.where(
+    return jnp.where(
         is_c2,
         jnp.where(succ_fs, ao[:, 0:1], ao[:, 1:2]),
-        jnp.where(is_c3, jnp.where(succ_fs, ao[:, 2:3], ao[:, 3:4]), zero),
+        jnp.where(is_c3, jnp.where(succ_fs, ao[:, 2:3], ao[:, 3:4]),
+                  F32(0.0)),
     )
-    ti = jnp.where(
-        is_c2,
-        jnp.where(succ_fs, 0, 1),
-        jnp.where(succ_fs, 2, 0),  # REV_START->REV_STOP reuses ff
-    )
-    ti = jnp.broadcast_to(ti, jnp.broadcast_shapes(ti.shape, dist.shape))
+
+
+def _adj_dist_exact(adj, max_olap, ti, dist):
+    """Exact AdjDist lookup on a NARROW (B, W) tile via one-hot over the
+    table width D (gather HLOs have a ~300 us per-step floor on this TPU;
+    one-hot contractions run at VPU speed — measured r5). Out-of-table
+    indices saturate to tab[dl-1], the reference's unsigned-wrap `.back()`
+    quirk (gene.cc:798-925)."""
+    import jax.numpy as jnp
+
+    D = adj["D"]
     dl = _sel3(adj["dl"], ti)
     idx = dist + max_olap
-    idx = jnp.broadcast_to(idx, ti.shape)
     ok = (idx >= 0) & (idx < dl)
-    D = adj["D"]
-    idx_eff = jnp.where(
-        ok, jnp.clip(idx, 0, D - 1), jnp.clip(dl - 1, 0, D - 1)
-    )
-    v0 = jnp.take_along_axis(tabs[0], idx_eff, axis=1)
-    v1 = jnp.take_along_axis(tabs[1], idx_eff, axis=1)
-    v2 = jnp.take_along_axis(tabs[2], idx_eff, axis=1)
-    val = jnp.where(ti == 0, v0, jnp.where(ti == 1, v1, v2))
-    di_s = jnp.where(is_c2 | is_c3, val, zero)
-    return or_s, di_s
+    idx_eff = jnp.where(ok, jnp.clip(idx, 0, D - 1),
+                        jnp.clip(dl - 1, 0, D - 1))
+    ohd = idx_eff[:, :, None] == jnp.arange(D, dtype=jnp.int32)[None, None, :]
+    v0 = jnp.sum(jnp.where(ohd, adj["tab0"][:, None, :], 0.0), axis=2)
+    v1 = jnp.sum(jnp.where(ohd, adj["tab1"][:, None, :], 0.0), axis=2)
+    v2 = jnp.sum(jnp.where(ohd, adj["tab2"][:, None, :], 0.0), axis=2)
+    return jnp.where(ti == 0, v0, jnp.where(ti == 1, v1, v2)).astype(
+        jnp.float32)
+
+
+# Re-link/adjacency row window: per DP step, arbitrary-index work is
+# restricted to the last WINDOW_ROWS events before e. Correct because both
+# the re-link window (3 + pos[e] - pos <= max_olap) and the in-table
+# adjacency range (idx < dl <= 2*max_olap+4  =>  pos[e] - pos <=
+# max_olap + 6) only reach events within ~max_olap bases behind e, and
+# events are position-sorted. Reads whose event density puts an in-range
+# event OUTSIDE the row window are flagged (wovf) and served by the host
+# engine, like MAX_EVENTS overflow.
+WINDOW_ROWS = 48
 
 
 def _event_dp_batched(ev, adj, consts, ne):
@@ -1403,24 +1427,37 @@ def _event_dp_batched(ev, adj, consts, ne):
 
     ev arrays: (B, E); ne: (B,). The loop runs to max(ne); lanes whose
     events are exhausted see typ == 0 padding rows (inactive), exactly as
-    the per-lane fori bound made them no-ops."""
+    the per-lane fori bound made them no-ops.
+
+    All per-element indexed reads are expressed as one-hot masked
+    contractions (never XLA gather HLOs — those cost ~0.3-1.9 ms each per
+    step on this TPU), and everything quadratic is restricted to the
+    WINDOW_ROWS trailing events (see above). Returns (score, bp, best,
+    wovf) where wovf flags reads needing the host fallback."""
     import jax
     import jax.numpy as jnp
 
     B, E = ev["pos"].shape
-    pos0, typ0, sub0, eid0 = ev["pos"], ev["typ"], ev["sub"], ev["id"]
+    W = min(WINDOW_ROWS, E)
+    pos, typ, sub, eid = ev["pos"], ev["typ"], ev["sub"], ev["id"]
     max_olap = consts["max_olap"]
     je2 = jnp.arange(E, dtype=jnp.int32)[None, :]
-    col1 = lambda a, e: jax.lax.dynamic_slice_in_dim(a, e, 1, axis=1)
+    jwr = jnp.arange(W, dtype=jnp.int32)
+    dsl = lambda a, lo: jax.lax.dynamic_slice_in_dim(a, lo, W, axis=1)
+    dus = lambda a, u, lo: jax.lax.dynamic_update_slice_in_dim(a, u, lo,
+                                                               axis=1)
 
-    def opener_best(e, score, bp, disq, best, processed, typ, pos, sub,
-                    tabs):
-        typ_e = col1(typ, e)
-        pos_e = col1(pos, e)
-        succ_fs = typ_e == E_FWD_START
-        dist = pos_e - pos - 3
-        or_s, di_s = _adj_pair_batched(adj, max_olap, typ, succ_fs, dist,
-                                       tabs)
+    def opener_best(e, score, best, processed, wlo, typ_w, pos_w, proc_w):
+        te_c = typ[:, e][:, None]
+        pos_e = pos[:, e][:, None]
+        succ_fs = te_c == E_FWD_START
+        # adjacency to e: saturated value everywhere, exact on the window
+        ti_full = _adj_ti(typ, succ_fs)
+        di_s = _sel3(adj["satv"], ti_full)
+        or_s = _adj_or_b(adj, typ, succ_fs)
+        ti_w = _adj_ti(typ_w, succ_fs)
+        di_w = _adj_dist_exact(adj, max_olap, ti_w, pos_e - pos_w - 3)
+        di_s = dus(di_s, di_w, wlo)
         cand_f32 = (
             score + or_s.astype(jnp.float64) + di_s.astype(jnp.float64)
         ).astype(jnp.float32)
@@ -1439,9 +1476,7 @@ def _event_dp_batched(ev, adj, consts, ne):
         for i in range(6):
             bei = best[:, i]
             has = bei >= 0
-            btyp = jnp.where(
-                has, _oh_at(typ, bei), jnp.int32(-1)
-            )
+            btyp = jnp.where(has, _oh_at(typ, bei), jnp.int32(-1))
             k_mask = processed & (sub == i) & (je2 <= bei[:, None])
             m_i = jnp.max(
                 jnp.where(k_mask & (typ != E_REV_START), je2, -1), axis=1
@@ -1498,32 +1533,30 @@ def _event_dp_batched(ev, adj, consts, ne):
         ).astype(jnp.int32)
         return m, widx
 
-    def walk_set(disq, bp, q0, cutoff, value, pos):
+    def walk_set(disq, bp, q0, cutoff, value):
         # Disqualify/Requalify chain walk, all lanes advanced jointly with
-        # per-lane active masks; same E-iteration safety bound. pos/bp are
-        # threaded through the while carry (fast-gather requirement).
+        # per-lane active masks; same E-iteration safety bound.
         def cond(c):
-            q, _d, it, posc, _bpc = c
-            pos_q = jnp.where(q >= 0, _oh_at(posc, q), -BIG)
+            q, _d, it = c
+            pos_q = jnp.where(q >= 0, _oh_at(pos, q), -BIG)
             return jnp.any((q >= 0) & (pos_q >= cutoff)) & (it < E)
 
         def body(c):
-            q, d, it, posc, bpc = c
-            pos_q = jnp.where(q >= 0, _oh_at(posc, q), -BIG)
+            q, d, it = c
+            pos_q = jnp.where(q >= 0, _oh_at(pos, q), -BIG)
             act = (q >= 0) & (pos_q >= cutoff)
             ohq = (je2 == jnp.clip(q, 0, E - 1)[:, None]) & act[:, None]
             d = jnp.where(ohq, value, d)
-            q = jnp.where(act, _oh_at(bpc, q), q)
-            return q, d, it + 1, posc, bpc
+            q = jnp.where(act, _oh_at(bp, q), q)
+            return q, d, it + 1
 
-        _q, disq, _it, _p, _b = jax.lax.while_loop(
-            cond, body, (q0, disq, jnp.int32(0), pos, bp)
+        _q, disq, _it = jax.lax.while_loop(
+            cond, body, (q0, disq, jnp.int32(0))
         )
         return disq
 
     def step(e, st):
-        score, bp, disq, best, typ, pos, sub, eid, t0, t1, t2 = st
-        tabs = (t0, t1, t2)
+        score, bp, disq, best, wovf = st
         te = typ[:, e]
         pos_e_v = pos[:, e]
         sub_e = sub[:, e]
@@ -1535,8 +1568,22 @@ def _event_dp_batched(ev, adj, consts, ne):
         is_rs = te == E_REV_START
         processed = je2 < e  # (1, E) shared across lanes
 
-        m_open, w_open = opener_best(e, score, bp, disq, best, processed,
-                                     typ, pos, sub, tabs)
+        wlo = jnp.maximum(e - W, 0)
+        typ_w = dsl(typ, wlo)
+        pos_w = dsl(pos, wlo)
+        sub_w = dsl(sub, wlo)
+        jw = wlo + jwr[None, :]           # (1, W) absolute row indices
+        proc_w = jw < e
+
+        # row-window sufficiency: any processed event OUTSIDE the window
+        # rows but within adjacency/base range flags the read for host
+        # fallback (conservative: correctness never depends on W)
+        out_rng = (processed & (je2 < wlo)
+                   & (pos_e_v[:, None] - pos <= max_olap + 6))
+        wovf = wovf | (active & jnp.any(out_rng, axis=1))
+
+        m_open, w_open = opener_best(e, score, best, processed, wlo,
+                                     typ_w, pos_w, proc_w)
 
         cand_id = processed & (sub == sub_e[:, None]) & (eid == eid_e[:, None])
         m_fs = jnp.max(jnp.where(cand_id, score, -jnp.inf), axis=1)
@@ -1568,77 +1615,85 @@ def _event_dp_batched(ev, adj, consts, ne):
         be = jnp.sum(
             jnp.where(jnp.arange(6)[None, :] == f[:, None], best, 0), axis=1
         ).astype(jnp.int32)
-        be_s = jnp.where(be >= 0, _oh_at(score, be), jnp.zeros((), score.dtype))
+        be_s = jnp.where(be >= 0, _oh_at(score, be),
+                         jnp.zeros((), score.dtype))
         do = (is_fs | is_rs) & (be_s < score_e)
         p_disq = jnp.where(is_rs, p_rs, -1)
         cutoff = 3 + pos_e_v - max_olap
         bp_at_pd = _oh_at(bp, p_disq)
         q0 = jnp.where(do & (p_disq >= 0), bp_at_pd, -1)
-        disq = walk_set(disq, bp, q0, cutoff, True, pos)
+        disq = walk_set(disq, bp, q0, cutoff, True)
         oh6 = jnp.arange(6)[None, :] == f[:, None]
         best = jnp.where(oh6 & do[:, None], e, best).astype(jnp.int32)
 
-        window = processed & (3 + pos_e_v[:, None] - pos <= max_olap)
-        opener_m = (typ == E_FWD_START) | (typ == E_REV_STOP)
-        bpj = bp
-        bpj_c = jnp.clip(bpj, 0, E - 1)
-        needed = jnp.where(
-            bpj >= 0, jnp.take_along_axis(score, bpj_c, axis=1),
-            jnp.zeros((), score.dtype)
-        )
-        cand = (do[:, None] & window & ~disq & opener_m
-                & (needed < score_e[:, None]))
+        # ---- bounded-overlap re-link, on the row window only ----
+        bp_w = dsl(bp, wlo)
+        disq_w = dsl(disq, wlo)
+        valid_bpw = bp_w >= 0
+        ohw = (jnp.clip(bp_w, 0, E - 1)[:, :, None] == je2[:, None, :])
+        zS = jnp.zeros((), score.dtype)
 
-        # old adjacency: (p.best_pred -> p); INITIAL pred -> 0
-        succ_fs = typ == E_FWD_START
-        bp_typ = jnp.where(
-            bpj >= 0, jnp.take_along_axis(typ, bpj_c, axis=1), 0
-        )
-        bp_pos = jnp.take_along_axis(pos, bpj_c, axis=1)
-        oo, od = _adj_pair_batched(
-            adj, max_olap, bp_typ, succ_fs, pos - bp_pos - 3, tabs
-        )
-        old_adj = jnp.where(bpj >= 0, oo + od, F32(0.0))
-        no_, nd = _adj_pair_batched(
-            adj, max_olap, te[:, None], succ_fs,
-            pos - pos_e_v[:, None] - 3, tabs
-        )
-        new_adj = no_ + nd
-        diff = ((score_e[:, None] - needed)
-                + (new_adj - old_adj).astype(score.dtype))
-        upd = cand & (diff > 0.0)
-        prop = (
-            processed
-            & (bpj >= 0)
-            & jnp.take_along_axis(upd, bpj_c, axis=1)
-            & (sub == jnp.take_along_axis(sub, bpj_c, axis=1))
-            & (je2 > bpj)
-        )
-        delta = (jnp.where(upd, diff, 0.0)
-                 + jnp.where(prop, jnp.take_along_axis(diff, bpj_c, axis=1),
-                             0.0))
-        score = score + delta
-        bp = jnp.where(upd, e, bp).astype(jnp.int32)
+        def gath_w(a, dt):
+            return jnp.sum(
+                jnp.where(ohw, a[:, None, :], jnp.zeros((), dt)), axis=2
+            ).astype(dt)
+
+        needed_w = jnp.where(valid_bpw, gath_w(score, score.dtype), zS)
+        bptyp_w = jnp.where(valid_bpw, gath_w(typ, typ.dtype), 0)
+        bppos_w = gath_w(pos, pos.dtype)
+        window_w = proc_w & (3 + pos_e_v[:, None] - pos_w <= max_olap)
+        opener_w = (typ_w == E_FWD_START) | (typ_w == E_REV_STOP)
+        cand_w = (do[:, None] & window_w & ~disq_w & opener_w
+                  & (needed_w < score_e[:, None]))
+
+        succ_fs_w = typ_w == E_FWD_START
+        oo_w = _adj_or_b(adj, bptyp_w, succ_fs_w)
+        od_w = _adj_dist_exact(adj, max_olap, _adj_ti(bptyp_w, succ_fs_w),
+                               pos_w - bppos_w - 3)
+        old_adj_w = jnp.where(valid_bpw, oo_w + od_w, F32(0.0))
+        no_w = _adj_or_b(adj, te[:, None], succ_fs_w)
+        nd_w = _adj_dist_exact(adj, max_olap, _adj_ti(te[:, None], succ_fs_w),
+                               pos_w - pos_e_v[:, None] - 3)
+        new_adj_w = no_w + nd_w
+        diff_w = ((score_e[:, None] - needed_w)
+                  + (new_adj_w - old_adj_w).astype(score.dtype))
+        upd_w = cand_w & (diff_w > 0.0)
+
+        # successor propagation over the full array: a successor's pred is
+        # in the window iff its bp lands in [wlo, wlo+W)
+        rel = bp - wlo
+        inw = (bp >= 0) & (rel >= 0) & (rel < W)
+        ohrel = ((jnp.clip(rel, 0, W - 1)[:, :, None]
+                  == jwr[None, None, :]) & inw[:, :, None])
+        upd_at = jnp.any(ohrel & upd_w[:, None, :], axis=2)
+        sub_at = jnp.sum(
+            jnp.where(ohrel, sub_w[:, None, :], 0), axis=2
+        ).astype(jnp.int32)
+        diff_at = jnp.sum(
+            jnp.where(ohrel, diff_w[:, None, :], zS), axis=2
+        ).astype(score.dtype)
+        prop = processed & upd_at & (sub == sub_at) & (je2 > bp)
+        score = score + jnp.where(prop, diff_at, zS)
+        sw = dsl(score, wlo)
+        score = dus(score, sw + jnp.where(upd_w, diff_w, zS), wlo)
+        bw = dsl(bp, wlo)
+        bp = dus(bp, jnp.where(upd_w, e, bw).astype(jnp.int32), wlo)
 
         bp_at_pd2 = _oh_at(bp, p_disq)
         q0b = jnp.where(do & (p_disq >= 0), bp_at_pd2, -1)
-        disq = walk_set(disq, bp, q0b, cutoff, False, pos)
-        return score, bp, disq, best, typ, pos, sub, eid, t0, t1, t2
+        disq = walk_set(disq, bp, q0b, cutoff, False)
+        return score, bp, disq, best, wovf
 
-    # the static event arrays and adjacency tables ride the carry so every
-    # take_along_axis sees a carried operand (the fast TPU gather form)
     init = (
         ev["score"],
         jnp.full((B, E), -2, jnp.int32),
         jnp.zeros((B, E), dtype=bool),
         jnp.full((B, 6), -1, jnp.int32),
-        typ0, pos0, sub0, eid0,
-        adj["tab0"], adj["tab1"], adj["tab2"],
+        jnp.zeros((B,), dtype=bool),
     )
     hi = jnp.max(jnp.minimum(ne, E)) if ne is not None else E
-    out = jax.lax.fori_loop(0, hi, step, init)
-    score, bp, disq, best = out[0], out[1], out[2], out[3]
-    return score, bp, best
+    score, bp, disq, best, wovf = jax.lax.fori_loop(0, hi, step, init)
+    return score, bp, best, wovf
 
 
 def _traceback_batched(ev, score, bp, best, ne):
@@ -1895,10 +1950,15 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
                     ne_cap = consts.get("ne_cap", MAX_EVENTS)
                     ne = jnp.minimum(n_events, ne_cap)
                     adjb = _prefetch_adj(bj, groups, MAX_EVENTS)
-                    score, bp_arr, best = _event_dp_batched(
+                    score, bp_arr, best, wovf = _event_dp_batched(
                         ev, adjb, consts, ne)
                     outs = _traceback_batched(ev, score, bp_arr, best, ne)
-                    return (*outs, n_events)
+                    # reads whose event density exceeded the re-link row
+                    # window fold into the overflow fallback channel
+                    n_flag = jnp.where(
+                        wovf, jnp.int32(MAX_EVENTS + 1), n_events
+                    )
+                    return (*outs, n_flag)
 
             else:
 
