@@ -297,18 +297,84 @@ def build_bank(models_list, max_read_len: int) -> DeviceBank:
 
 
 def _cls3_cummax(vals):
-    """Running max within each i%3 class (frame-strided scan)."""
+    """Running max within each i%3 class (frame-strided scan) along the
+    LAST axis; works for (L,) and batched (B, L)."""
     import jax
 
-    v = vals.reshape(-1, 3)
-    return jax.lax.associative_scan(_maximum, v, axis=0).reshape(-1)
+    shp = vals.shape
+    v = vals.reshape(*shp[:-1], -1, 3)
+    return jax.lax.associative_scan(
+        _maximum, v, axis=v.ndim - 2
+    ).reshape(shp)
 
 
 def _cls3_revcummin(vals):
     import jax
 
-    v = vals.reshape(-1, 3)
-    return jax.lax.associative_scan(_minimum, v, axis=0, reverse=True).reshape(-1)
+    shp = vals.shape
+    v = vals.reshape(*shp[:-1], -1, 3)
+    return jax.lax.associative_scan(
+        _minimum, v, axis=v.ndim - 2, reverse=True
+    ).reshape(shp)
+
+
+def _cls3_cumsum(vals):
+    """Inclusive cumsum within each i%3 class along the last axis."""
+    import jax.numpy as jnp
+
+    shp = vals.shape
+    v = vals.reshape(*shp[:-1], -1, 3)
+    return jnp.cumsum(v, axis=v.ndim - 2).reshape(shp)
+
+
+def _pick_first(a, b):
+    """Associative nearest-valid combiner over (value, valid) pairs.
+
+    In a reverse associative_scan (flip-scan-flip), the FIRST argument
+    accumulates the farther suffix; the nearer element (b) must win when
+    valid so out[i] is the value at the nearest valid position >= i."""
+    import jax.numpy as jnp
+
+    av, af = a
+    bv, bf = b
+    return jnp.where(bf, bv, av), af | bf
+
+
+def _cls3_revfill(vals, valid):
+    """out[q] = vals at the NEAREST VALID position >= q in q's i%3 class
+    (inclusive); any_valid flag alongside. The segmented slot->member
+    broadcast: per-slot fields placed at their closing-stop positions
+    propagate back over the whole ORF run in one log-depth scan instead
+    of a ~5.4 ms XLA gather per field (profiler-measured r5)."""
+    import jax
+
+    shp = vals.shape
+    v = vals.reshape(*shp[:-1], -1, 3)
+    f = valid.reshape(*shp[:-1], -1, 3)
+    ov, of = jax.lax.associative_scan(
+        _pick_first, (v, f), axis=v.ndim - 2, reverse=True
+    )
+    return ov.reshape(shp), of.reshape(shp)
+
+
+def _cls3_fwdfill(vals, valid):
+    """out[q] = vals at the nearest valid position <= q (same class)."""
+    import jax
+
+    def pick_last(a, b):
+        import jax.numpy as jnp
+
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    shp = vals.shape
+    v = vals.reshape(*shp[:-1], -1, 3)
+    f = valid.reshape(*shp[:-1], -1, 3)
+    ov, of = jax.lax.associative_scan(
+        pick_last, (v, f), axis=v.ndim - 2
+    )
+    return ov.reshape(shp), of.reshape(shp)
 
 
 def _maximum(a, b):
@@ -324,47 +390,70 @@ def _minimum(a, b):
 
 
 def _shift_right(arr, k, fill):
-    """arr shifted right by k (arr[i-k]), front filled."""
+    """arr shifted right by k along the LAST axis (arr[..., i-k])."""
     import jax.numpy as jnp
 
-    return jnp.concatenate([jnp.full((k,), fill, arr.dtype), arr[:-k]])
+    pad = jnp.full(arr.shape[:-1] + (k,), fill, arr.dtype)
+    return jnp.concatenate([pad, arr[..., :-k]], axis=-1)
 
 
 def _shift_left(arr, k, fill):
     import jax.numpy as jnp
 
-    return jnp.concatenate([arr[k:], jnp.full((k,), fill, arr.dtype)])
+    pad = jnp.full(arr.shape[:-1] + (k,), fill, arr.dtype)
+    return jnp.concatenate([arr[..., k:], pad], axis=-1)
 
 
 def _gather_guard(arr, idx, fill):
-    """arr[idx] with out-of-range idx -> fill."""
+    """arr[..., idx] along the last axis with out-of-range idx -> fill.
+
+    1-D: plain fancy index. Batched (B, L) with idx (B, K): lowered via
+    take_along_axis — the form XLA TPU executes at vector speed (a
+    vmapped per-lane fancy index lowers to a batched gather that runs
+    ~50x slower; measured r5)."""
     import jax.numpy as jnp
 
-    ok = (idx >= 0) & (idx < arr.shape[0])
-    return jnp.where(ok, arr[jnp.clip(idx, 0, arr.shape[0] - 1)], fill)
+    L = arr.shape[-1]
+    ok = (idx >= 0) & (idx < L)
+    idx_c = jnp.clip(idx, 0, L - 1)
+    if arr.ndim == 1:
+        return jnp.where(ok, arr[idx_c], fill)
+    return jnp.where(ok, jnp.take_along_axis(arr, idx_c, axis=-1), fill)
 
 
 def _gather2(arr2, row, idx, fill):
-    """arr2[row, idx] elementwise with out-of-range idx -> fill."""
+    """arr2[..., row, idx] elementwise with out-of-range idx -> fill.
+    arr2: (3, L) or (B, 3, L); row/idx: (K,) or (B, K)."""
     import jax.numpy as jnp
 
-    ok = (idx >= 0) & (idx < arr2.shape[1])
-    return jnp.where(ok, arr2[row, jnp.clip(idx, 0, arr2.shape[1] - 1)], fill)
+    L = arr2.shape[-1]
+    ok = (idx >= 0) & (idx < L)
+    idx_c = jnp.clip(idx, 0, L - 1)
+    if arr2.ndim == 2:
+        return jnp.where(ok, arr2[row, idx_c], fill)
+    flat = arr2.reshape(arr2.shape[0], -1)
+    return jnp.where(
+        ok, jnp.take_along_axis(flat, row * L + idx_c, axis=-1), fill
+    )
 
 
 def _read_tables(seq, n, gi, bank):
-    """Per-position codon-class tables and scan arrays for one read.
+    """Per-position codon-class tables and scan arrays, BATCHED.
 
-    Returns a dict of (Lp,) arrays mirroring the host's boolean codon
-    arrays (engine.orfs.scan_codons) and stop-index arrays
-    (MgSequenceState._save_prev_stops), plus the frame-strided
-    next/prev-start/stop scans the ORF assembler queries.
+    seq: (B, Lp) i32, n/gi: (B,). Returns a dict of (B, Lp) arrays
+    mirroring the host's boolean codon arrays (engine.orfs.scan_codons)
+    and stop-index arrays (MgSequenceState._save_prev_stops), plus the
+    frame-strided next/prev-start/stop scans the ORF assembler queries.
+    The whole frontend is written batched (no vmap): vmapped per-lane
+    fancy indexing lowers to XLA batched gathers that run ~50x slower
+    than take_along_axis on this TPU (measured r5).
     """
     import jax.numpy as jnp
 
-    Lp = seq.shape[0]
-    i = jnp.arange(Lp, dtype=jnp.int32)
-    valid = i < n
+    B, Lp = seq.shape
+    i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    n2 = n[:, None]
+    valid = i < n2
 
     s0 = _shift_right(seq, 2, 0)
     s1 = _shift_right(seq, 1, 0)
@@ -372,12 +461,26 @@ def _read_tables(seq, n, gi, bank):
 
     t = {}
     t["cod6"] = cod6
-    t["is_fwd_start"] = bank["fwd_start"][gi][cod6]
-    t["is_rev_start"] = bank["rev_start"][gi][cod6]
-    t["is_fwd_stop"] = bank["fwd_stop"][gi][cod6]
-    t["is_rev_stop"] = bank["rev_stop"][gi][cod6]
-    t["which_fwd"] = bank["which_fwd"][gi][cod6].astype(jnp.int32)
-    t["which_rev"] = bank["which_rev"][gi][cod6].astype(jnp.int32)
+
+    # codon classification via ONE shared one-hot over the 65-entry codon
+    # axis: every take_along_axis lowers to a ~5.4 ms kCustom gather at
+    # (1024, 513) on this TPU (profiler-measured r5); the shared-mask
+    # reductions run at VPU speed
+    ohc = cod6[:, :, None] == jnp.arange(65, dtype=jnp.int32)[None, None, :]
+
+    def ctab(key, dt):
+        tab = bank[key][gi]                      # (B, 65), one-shot
+        acc = jnp.sum(
+            jnp.where(ohc, tab[:, None, :].astype(jnp.int32), 0), axis=2
+        )
+        return acc.astype(dt) if dt is not bool else acc > 0
+
+    t["is_fwd_start"] = ctab("fwd_start", bool)
+    t["is_rev_start"] = ctab("rev_start", bool)
+    t["is_fwd_stop"] = ctab("fwd_stop", bool)
+    t["is_rev_stop"] = ctab("rev_stop", bool)
+    t["which_fwd"] = ctab("which_fwd", jnp.int32)
+    t["which_rev"] = ctab("which_rev", jnp.int32)
 
     nBIG = jnp.int32(BIG)
     t["pstop_f"] = _cls3_cummax(jnp.where(t["is_fwd_stop"], i, -nBIG))
@@ -397,8 +500,8 @@ def _read_tables(seq, n, gi, bank):
     cls = i % 3
     init_f = jnp.where(cls == 0, 0, jnp.where(cls == 1, 1, -1))
     t["fwd_prev"] = jnp.maximum(init_f, t["pstop_f"])
-    f_r = (n - 1 - i) % 3
-    init_r = jnp.where(f_r == 0, n - 1, jnp.where(f_r == 1, n - 2, n))
+    f_r = (n2 - 1 - i) % 3
+    init_r = jnp.where(f_r == 0, n2 - 1, jnp.where(f_r == 1, n2 - 2, n2))
     hit_r = _shift_left(t["is_rev_stop"], 2, False)
     rn_cand = _cls3_revcummin(jnp.where(hit_r, i, nBIG))
     t["rev_next"] = jnp.minimum(init_r, rn_cand)
@@ -406,17 +509,18 @@ def _read_tables(seq, n, gi, bank):
 
 
 def _fps(t, n, x):
-    """fwd_prev_stop(x) with the host's out-of-range passthrough."""
+    """fwd_prev_stop(x) with the host's out-of-range passthrough.
+    Batched: t arrays (B, Lp), n (B,), x (B, K)."""
     import jax.numpy as jnp
 
-    inside = (x >= 0) & (x < n)
+    inside = (x >= 0) & (x < n[:, None])
     return jnp.where(inside, _gather_guard(t["fwd_prev"], x, 0), x)
 
 
 def _rns(t, n, x):
     import jax.numpy as jnp
 
-    inside = (x >= 0) & (x < n)
+    inside = (x >= 0) & (x < n[:, None])
     return jnp.where(inside, _gather_guard(t["rev_next"], x, 0), x)
 
 
@@ -430,17 +534,22 @@ def _fwd_orf_slots(t, n, Lp, min_gene_len):
     """
     import jax.numpy as jnp
 
+    B = n.shape[0]
     nBIG = jnp.int32(BIG)
+    n2 = n[:, None]
     iS = jnp.concatenate(
-        [jnp.arange(Lp, dtype=jnp.int32), n + jnp.arange(3, dtype=jnp.int32)]
+        [jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32)[None, :], (B, Lp)),
+         n2 + jnp.arange(3, dtype=jnp.int32)[None, :]], axis=1
     )
-    real = jnp.arange(Lp + 3) < Lp
-    slot_exists = jnp.where(real, jnp.pad(t["is_fwd_stop"], (0, 3)), True)
+    real = (jnp.arange(Lp + 3) < Lp)[None, :]
+    slot_exists = jnp.where(
+        real, jnp.pad(t["is_fwd_stop"], ((0, 0), (0, 3))), True
+    )
 
     c = iS % 3
     # previous stop in class: real -> pstop[iS-3]; virtual -> last real stop
     pst3 = _shift_right(t["pstop_f"], 3, -nBIG)
-    last_in_cls = t["pstop_f"][Lp - 3 + c]  # top of each class column
+    last_in_cls = jnp.take_along_axis(t["pstop_f"], Lp - 3 + c, axis=1)
     ip = jnp.where(real, _gather_guard(pst3, iS, -nBIG), last_in_cls)
     has_prev = ip > -nBIG // 2
 
@@ -463,12 +572,12 @@ def _fwd_orf_slots(t, n, Lp, min_gene_len):
     mm = hi - lo
     top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
     orf_trunc = lo < 3
-    t3 = iS >= n  # stop_position > n - 2
-    key = jnp.where(real, 2 * iS + 1, 2 * Lp + 8 + (iS - n))
+    t3 = iS >= n2  # stop_position > n - 2
+    key = jnp.where(real, 2 * iS + 1, 2 * Lp + 8 + (iS - n2))
     return {
         "iS": iS, "emit": emit, "lo": lo, "hi": hi, "mm": mm,
         "top_j": top_j, "orf_trunc": orf_trunc, "t3": t3, "key": key,
-        "stop_pos": iS - 1,
+        "stop_pos": iS - 1, "ip": ip,
     }
 
 
@@ -482,16 +591,19 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
     import jax.numpy as jnp
 
     nBIG = jnp.int32(BIG)
-    idx = jnp.arange(Lp + 3, dtype=jnp.int32)
+    n2 = n[:, None]
+    idx = jnp.arange(Lp + 3, dtype=jnp.int32)[None, :]
     real = idx < Lp
-    iC = jnp.where(real, idx, n + (idx - Lp))  # closing boundary subscript
+    iC = jnp.where(real, idx, n2 + (idx - Lp))  # closing boundary subscript
     cls = iC % 3
     f_end = idx - Lp  # end-slot frame class (host Finish_Orfs f)
     c = jnp.where(real, cls, f_end)
-    slot_exists = jnp.where(real, jnp.pad(t["is_rev_stop"], (0, 3)), True)
+    slot_exists = jnp.where(
+        real, jnp.pad(t["is_rev_stop"], ((0, 0), (0, 3))), True
+    )
 
     pst3 = _shift_right(t["pstop_r"], 3, -nBIG)
-    last_in_cls = t["pstop_r"][Lp - 3 + c]
+    last_in_cls = jnp.take_along_axis(t["pstop_r"], Lp - 3 + c, axis=1)
     ip = jnp.where(real, _gather_guard(pst3, iC, -nBIG), last_in_cls)
     has_prev = ip > -nBIG // 2
 
@@ -499,12 +611,12 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
     orf_stop = jnp.where(has_prev, ip - 1, vstop)
 
     # last rev start strictly inside the segment and before the boundary
-    bound = jnp.where(real, iC, n)  # end slots: subscripts < n
+    bound = jnp.where(real, iC, n2)  # end slots: subscripts < n
     ls = _gather_guard(t["pstart_r"], bound - 3, -nBIG)
     ls_ok = (ls > jnp.where(has_prev, ip, -nBIG)) & (ls > -nBIG // 2)
     gene_len = jnp.where(ls_ok, (ls - 1) - orf_stop, 0)
 
-    end_orf_len = n - orf_stop - 2
+    end_orf_len = n2 - orf_stop - 2
     end_orf_len = end_orf_len - end_orf_len % 3
     orf_len = jnp.where(real, bound - orf_stop - 4, end_orf_len)
     # allow_truncated fill applies only to the end-of-sequence handler
@@ -518,13 +630,13 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
     hi = _rns(t, n, end_point - 1) + 1
     mm = hi - lo
     top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
-    orf_trunc = (n - (hi - 1)) < 3
+    orf_trunc = (n2 - (hi - 1)) < 3
     t3 = orf_stop < 1
     key = jnp.where(real, 2 * iC, 2 * Lp + 4 + f_end)
     return {
         "iC": iC, "emit": emit, "lo": lo, "hi": hi, "mm": mm,
         "top_j": top_j, "orf_trunc": orf_trunc, "t3": t3, "key": key,
-        "stop_pos": orf_stop,
+        "stop_pos": orf_stop, "ip": ip, "c": c,
     }
 
 
@@ -546,28 +658,48 @@ def _frame_prefix_sums(gene6, ind6, n, Lp):
     """
     import jax.numpy as jnp
 
+    B = gene6.shape[0]
     p = jnp.arange(Lp, dtype=jnp.int32)
-    valid = p < n
-    # x[n-1-p] as flip+roll (XLA lowers the per-element reversal gather to
-    # a pathologically slow generic gather on TPU: measured 2.96 s of the
-    # 3.16 s candidate stage at (1024, 513); roll+flip is ~free)
-    rev_g = jnp.roll(jnp.flip(gene6[:3], axis=-1), n - Lp, axis=-1)
-    rev_i = jnp.roll(jnp.flip(ind6[:3], axis=-1), n - Lp, axis=-1)
+    valid = p[None, :] < n[:, None]
+    # x[n-1-p] as flip + per-lane roll. The roll amount is per lane, so it
+    # is expressed as ONE same-width take_along_axis on the flattened
+    # (B, 3*Lp) block — the only XLA gather form that runs at vector
+    # speed on this TPU (measured r5; the generic per-element reversal
+    # gather was 2.96 s of a 3.16 s stage at (1024, 513)).
+    roll_idx = (p[None, :] - (n[:, None] - Lp)) % Lp        # (B, Lp)
+    flat_idx = (jnp.tile(roll_idx, (1, 3))
+                + (jnp.arange(3 * Lp, dtype=jnp.int32)[None, :] // Lp) * Lp)
+
+    def rev3(x):
+        fl = jnp.flip(x[:, :3], axis=-1).reshape(B, 3 * Lp)
+        return jnp.take_along_axis(fl, flat_idx, axis=1).reshape(B, 3, Lp)
+
+    rev_g = rev3(gene6)
+    rev_i = rev3(ind6)
     fs_f = jnp.where(
-        valid[None, :],
+        valid[:, None, :],
         rev_g.astype(jnp.float64) - rev_i.astype(jnp.float64),
         0.0,
     )
     fs_r = jnp.where(
-        valid[None, :],
-        gene6[3:].astype(jnp.float64) - ind6[3:].astype(jnp.float64),
+        valid[:, None, :],
+        gene6[:, 3:].astype(jnp.float64) - ind6[:, 3:].astype(jnp.float64),
         0.0,
     )
     c = jnp.arange(3, dtype=jnp.int32)[:, None]
+
+    def rowsel(x, rows):
+        # x (B, 3, Lp); rows (3, Lp) in {0,1,2} shared across lanes
+        r = rows[None, :, :]
+        return jnp.where(
+            r == 0, x[:, 0:1, :],
+            jnp.where(r == 1, x[:, 1:2, :], x[:, 2:3, :])
+        )
+
     rowf = (c + 1 - p[None, :]) % 3
-    Sf = jnp.cumsum(jnp.take_along_axis(fs_f, rowf, axis=0), axis=1)
+    Sf = jnp.cumsum(rowsel(fs_f, rowf), axis=2)
     rowr = (p[None, :] - c) % 3
-    Sr = jnp.cumsum(jnp.take_along_axis(fs_r, rowr, axis=0), axis=1)
+    Sr = jnp.cumsum(rowsel(fs_r, rowr), axis=2)
     return Sf, Sr
 
 
@@ -584,35 +716,52 @@ def _pwm_arrays(seq, n, gi, bank, pwm_w: int):
 
     if pwm_w == 0:
         return None
-    Lp = seq.shape[0]
+    B, Lp = seq.shape
     comp = 3 - seq
-    cols = bank["pwm_cols"][gi]  # (C, W, 4) f64
-    nm = bank["pwm_n"][gi]
-    ucols = bank["pwm_user"][gi]  # (W, 4) f64
-    gclp = bank["gc_lp"][gi]  # (4,) f64
+    cols = bank["pwm_cols"][gi]  # (B, C, W, 4) f64
+    nm = bank["pwm_n"][gi]       # (B,)
+    ucols = bank["pwm_user"][gi]  # (B, W, 4) f64
+    gclp = bank["gc_lp"][gi]  # (B, 4) f64
 
-    C = cols.shape[0]
-    prod_f = jnp.ones((C, Lp), dtype=jnp.float64)
-    prod_r = jnp.ones((C, Lp), dtype=jnp.float64)
-    gcf = jnp.zeros(Lp, dtype=jnp.float64)
-    gcr = jnp.zeros(Lp, dtype=jnp.float64)
-    uf = jnp.zeros(Lp, dtype=jnp.float64)
-    ur = jnp.zeros(Lp, dtype=jnp.float64)
+    C = cols.shape[1]
+
+    def sel4_2d(tab, b):
+        # tab (B, 4); b (B, Lp) -> (B, Lp)
+        out = jnp.broadcast_to(tab[:, 0:1], b.shape).astype(tab.dtype)
+        for k in range(1, 4):
+            out = jnp.where(b == k, tab[:, k:k + 1], out)
+        return out
+
+    def sel4_3d(tab, b):
+        # tab (B, C, 4); b (B, Lp) -> (B, C, Lp)
+        b3 = b[:, None, :]
+        out = jnp.broadcast_to(tab[:, :, 0:1], (B, C, b.shape[1])).astype(
+            tab.dtype)
+        for k in range(1, 4):
+            out = jnp.where(b3 == k, tab[:, :, k:k + 1], out)
+        return out
+
+    prod_f = jnp.ones((B, C, Lp), dtype=jnp.float64)
+    prod_r = jnp.ones((B, C, Lp), dtype=jnp.float64)
+    gcf = jnp.zeros((B, Lp), dtype=jnp.float64)
+    gcr = jnp.zeros((B, Lp), dtype=jnp.float64)
+    uf = jnp.zeros((B, Lp), dtype=jnp.float64)
+    ur = jnp.zeros((B, Lp), dtype=jnp.float64)
     for j in range(pwm_w):
         sj = _shift_left(seq, j, 0)
         cj = _shift_left(comp, pwm_w - 1 - j, 0)
-        prod_f = prod_f * cols[:, j, sj]
-        prod_r = prod_r * cols[:, j, cj]
-        gcf = gcf + gclp[sj]
-        gcr = gcr + gclp[cj]
-        uf = uf + ucols[j, sj]
-        ur = ur + ucols[j, cj]
-    cmask = (jnp.arange(C) < nm)[:, None]
-    denom = jnp.maximum(nm, 1).astype(jnp.float64)
-    mixf = jnp.sum(jnp.where(cmask, prod_f, 0.0), axis=0) / denom
-    mixr = jnp.sum(jnp.where(cmask, prod_r, 0.0), axis=0) / denom
-    is_user = bank["pwm_is_user"][gi]
-    has_mix = nm > 0
+        prod_f = prod_f * sel4_3d(cols[:, :, j, :], sj)
+        prod_r = prod_r * sel4_3d(cols[:, :, j, :], cj)
+        gcf = gcf + sel4_2d(gclp, sj)
+        gcr = gcr + sel4_2d(gclp, cj)
+        uf = uf + sel4_2d(ucols[:, j, :], sj)
+        ur = ur + sel4_2d(ucols[:, j, :], cj)
+    cmask = (jnp.arange(C)[None, :] < nm[:, None])[:, :, None]
+    denom = jnp.maximum(nm, 1).astype(jnp.float64)[:, None]
+    mixf = jnp.sum(jnp.where(cmask, prod_f, 0.0), axis=1) / denom
+    mixr = jnp.sum(jnp.where(cmask, prod_r, 0.0), axis=1) / denom
+    is_user = bank["pwm_is_user"][gi][:, None]  # (B, 1)
+    has_mix = (nm > 0)[:, None]
     # one log pass per strand; the separation scan below is then pure
     # shift-compare (the per-candidate scorers become two gathers)
     sc_f = jnp.where(is_user, uf, jnp.log(mixf) - gcf)
@@ -632,13 +781,15 @@ def _pwm_window_tables(pw, n, Lp: int, ws: int, W: int):
 
     if pw is None:
         return None
-    any_mode = pw["is_user"] | pw["has_mix"]
-    p0 = jnp.arange(Lp, dtype=jnp.int32)
+    any_mode = pw["is_user"] | pw["has_mix"]  # (B, 1)
+    p0 = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    n2 = n[:, None]
 
-    best_f = jnp.full(Lp, -jnp.inf, dtype=pw["sc_f"].dtype)
-    sep_f = jnp.zeros(Lp, dtype=jnp.int32)
-    best_r = jnp.full(Lp, -jnp.inf, dtype=pw["sc_f"].dtype)
-    sep_r = jnp.zeros(Lp, dtype=jnp.int32)
+    shp = pw["sc_f"].shape
+    best_f = jnp.full(shp, -jnp.inf, dtype=pw["sc_f"].dtype)
+    sep_f = jnp.zeros(shp, dtype=jnp.int32)
+    best_r = jnp.full(shp, -jnp.inf, dtype=pw["sc_f"].dtype)
+    sep_r = jnp.zeros(shp, dtype=jnp.int32)
     for s in range(ws - W + 1):
         # fwd: window start = pos - W - 1 - s = p0 - W - s
         scf = _shift_right(pw["sc_f"], min(W + s, Lp), -np.inf)
@@ -649,7 +800,7 @@ def _pwm_window_tables(pw, n, Lp: int, ws: int, W: int):
         # rev: window key k = pos + s = p0 + 1 + s; valid while
         # hi = pos - 1 + W + s < n
         scr = _shift_left(pw["sc_r"], min(s + 1, Lp), -np.inf)
-        okr = (p0 + W + s < n) & any_mode
+        okr = (p0 + W + s < n2) & any_mode
         tkr = okr & (scr > best_r)
         best_r = jnp.where(tkr, scr, best_r)
         sep_r = jnp.where(tkr, s, sep_r)
@@ -737,48 +888,95 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     min_j = max(min(3, min_gene_len - 3), min_gene_len - 3)
     ev_thresh = consts["event_threshold"]
 
-    q = jnp.arange(Lp, dtype=jnp.int32)
+    B = n.shape[0]
+    n2 = n[:, None]
+    q = jnp.arange(Lp, dtype=jnp.int32)[None, :]
     c = (q + 2) % 3  # stop-subscript class of this position's chain
-    i_next = _gather_guard(t["nstop_f"], q + 5, BIG)
-    ivirt = n + (q + 2 - n) % 3
+    i_next = _shift_left(t["nstop_f"], 5, BIG)  # nstop_f[q+5]
+    ivirt = n2 + (q + 2 - n2) % 3
     iS = jnp.minimum(i_next, ivirt)
-    slot = jnp.where(iS >= n, Lp + (iS - n), iS)
+    slot = jnp.where(iS >= n2, Lp + (iS - n2), iS)
+    stop_m = t["is_fwd_stop"]
+    vcls = (q + 2 - n2) % 3  # virtual-slot index of q's chain
 
-    emit = fw["emit"][slot]
-    lo = fw["lo"][slot]
-    hi = fw["hi"][slot]
-    mm = fw["mm"][slot]
-    top_j = fw["top_j"][slot]
-    orf_trunc = fw["orf_trunc"][slot]
-    t3 = fw["t3"][slot]
+    # slot -> member broadcast: per-slot values, placed at their closing
+    # stop's position (member q reads its run's stop at q+5) and
+    # reverse-filled along the class chain; the virtual tail is a 3-way
+    # select. One log-depth scan per field vs a ~5.4 ms gather.
+    def prop(F):
+        Gv = _shift_left(F[:, :Lp], 5, jnp.zeros((), F.dtype))
+        Vv = _shift_left(stop_m, 5, False)
+        rf, anyv = _cls3_revfill(Gv, Vv)
+        return jnp.where(anyv, rf, _sel3(F[:, Lp:], vcls))
+
+    is_real = iS < n2
+    emit = prop(fw["emit"])
+    taa = lambda a: jnp.take_along_axis(a, slot, axis=1)
+
+    # member-local slot fields (no propagation needed): the scorer bounds
+    # reduce to shifted per-position registers on the member's own chain
+    hi = iS - 2
+    j3 = jnp.arange(3, dtype=jnp.int32)[None, :]
+    xv3 = n2 + j3 - 3                                   # (B, 3)
+    fp3 = _gather_guard(t["fwd_prev"], xv3, 0)
+    fp3 = jnp.where(xv3 >= 0, fp3, xv3)                 # _fps passthrough
+    fp_virt = _sel3(fp3, vcls)
+    lo = jnp.where(
+        is_real, _shift_left(t["fwd_prev"], 2, 0), fp_virt
+    ) + 1
+    mm = hi - lo
+    top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
+    t3 = ~is_real
 
     j = hi - 3 - q
     hit2 = _shift_left(t["is_fwd_start"], 2, False)
     which2 = _shift_left(t["which_fwd"], 2, -1)
     std_valid = (
-        emit & (q >= lo) & (j >= min_j) & (j <= top_j) & hit2[q]
+        emit & (q >= lo) & (j >= min_j) & (j <= top_j) & hit2
     )
-    which = which2[q]
+    which = which2
 
     def raw_of(jv, hiv, cv):
         a = _gather2(Sf, cv, hiv - 1, 0.0)
         b = _gather2(Sf, cv, hiv - 1 - jv, 0.0)
         return a - b
 
-    raw = raw_of(j, hi, c)
+    isl = bank["ignore_score_len"][gi][:, None]
+    prior = bank["prior"][gi].astype(jnp.float64)[:, None]
+    len_tab = bank["len_score"][gi]        # (B, 3, LN)
+    LN = len_tab.shape[2]
+    start_lo3 = bank["start_lo"][gi]       # (B, 3)
+
+    # raw = Sf[c, iS-3] - Sf[c, q+2]: both ends are class-diagonal reads
+    # R[x] = Sf[x%3, x], so the b-end is a shift and the a-end is R at the
+    # closing stop (the same revfill placement), virtual tail tiny
+    x = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    xm3 = x % 3
+    R = jnp.where(
+        xm3 == 0, Sf[:, 0, :], jnp.where(xm3 == 1, Sf[:, 1, :], Sf[:, 2, :])
+    )
+    A_pos = _shift_right(R, 3, 0.0)             # A[p] = Sf[p%3, p-3]
+    av_idx = n2 + jnp.arange(3, dtype=jnp.int32)[None, :] - 3  # (B,3)
+    a_virt = _gather2(
+        Sf, (n2 + jnp.arange(3)[None, :]) % 3, av_idx, 0.0
+    )                                            # (B,3)
+    a = prop(jnp.concatenate([A_pos, a_virt], axis=1))
+    b = _shift_left(R, 2, 0.0)                   # Sf[c, q+2]
+    raw = a - b
     sj = j + 2
-    boost = sj > bank["ignore_score_len"][gi]
+    boost = sj > isl
     raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
 
-    pos = q + 3  # 1-based event position (kk + 2)
-    pwm, sep = _pwm_fwd(pw, pos - 2)  # scorer takes start pos kk
-    score = raw + bank["prior"][gi].astype(jnp.float64)
+    pos = jnp.broadcast_to(q + 3, (B, Lp))  # 1-based event position (kk + 2)
+    pwm, sep = (pw["bf"], pw["sf"]) if pw is not None else (
+        jnp.zeros((B, Lp), jnp.float64), jnp.zeros((B, Lp), jnp.int32))
+    score = raw + prior
     score = _add_pwm(score, pwm, sep)
-    start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
+    start_sel = _sel3(start_lo3, jnp.clip(which, 0, 2)).astype(jnp.float64)
     score = jnp.where(which >= 0, score + start_sel, score)
     len_row = jnp.where(t3, 1, 0)  # std entries: t5 = False
-    len_idx = jnp.clip(j // 3 + 1, 0, bank["len_score"].shape[2] - 1)
-    score = score + bank["len_score"][gi][len_row, len_idx]
+    len_idx = jnp.clip(j // 3 + 1, 0, LN - 1)
+    score = score + _gather2(len_tab, len_row, len_idx, 0.0)
     std_pass = std_valid & (score > ev_thresh)
 
     # --- truncated first-start entries (one per fwd-ORF slot) ---
@@ -789,14 +987,15 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     q_t = s_hi - 3 - s_top
     cS = fw["iS"] % 3
     raw_t = raw_of(s_top, s_hi, cS)
-    boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
+    boost_t = (s_top + 2) > isl
     raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
     pos_t = q_t + 3
     pwm_t, sep_t = _pwm_fwd(pw, pos_t - 2)
-    score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
+    score_t = raw_t + prior
     score_t = _add_pwm(score_t, pwm_t, sep_t)
-    len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
-    score_t = score_t + bank["len_score"][gi][jnp.where(s_t3, 2, 1), len_idx_t]
+    len_idx_t = jnp.clip(s_top // 3 + 1, 0, LN - 1)
+    score_t = score_t + _gather2(len_tab, jnp.where(s_t3, 2, 1), len_idx_t,
+                                 0.0)
     tr_pass = tr_valid & (score_t > ev_thresh)
 
     # --- dedup at the shared position (truncated entry iterates first;
@@ -804,31 +1003,54 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     std_at_qt = _gather_guard(std_pass, q_t, False)
     std_score_qt = _gather_guard(score, q_t, -np.inf)
     tr_final = tr_pass & ~(std_at_qt & (std_score_qt > score_t))
-    kill = jnp.zeros(Lp, dtype=bool).at[jnp.clip(q_t, 0, Lp - 1)].max(
-        tr_pass & (std_score_qt <= score_t)
-    )
-    std_final = std_pass & ~kill[q]
+    # kill[q] inverted without a scatter: q can only be the truncated-start
+    # position of ITS OWN ORF slot (q_t[slot[q]] == q), so gather the
+    # condition back through `slot`
+    kill_slot = tr_pass & (std_score_qt <= score_t)
+    kill = taa(kill_slot) & (taa(q_t) == q)
+    std_final = std_pass & ~kill
 
     # --- per-ORF aggregates over the start_list (host score_orfs_errors:
-    # best RAW score over every generated start, post-boost) ---
+    # best raw > threshold / any event), scatter-free: each ORF's start
+    # candidates are one contiguous class-strided run (q with q+5 past the
+    # ORF's previous stop), so existence tests are class-prefix-sum
+    # differences at the run boundaries. XLA scatters cost ~30 ms at this
+    # shape on TPU; the cumsum + 2 gathers are ~free (measured r5). ---
     n_slots = Lp + 3
-    best_raw = jnp.full(n_slots, -jnp.inf).at[slot].max(
-        jnp.where(std_valid, raw, -jnp.inf)
-    )
-    best_raw = jnp.maximum(best_raw, jnp.where(tr_valid, raw_t, -jnp.inf))
-    any_ev = jnp.zeros(n_slots, dtype=bool).at[slot].max(std_final)
-    any_ev = any_ev | tr_final
+    thresh = consts["start_threshold"]
+    xn3 = n2 + jnp.arange(3, dtype=jnp.int32)[None, :]  # virtual iS (B,3)
+
+    def seg_exists(ind):
+        # per-slot existence over the run, scan/shift form: count in
+        # (prev_stop-5, s-5] = F[s-5] - F[p-5]; the prev-stop term rides a
+        # class forward-fill of F[x-5] placed at stop positions
+        F = _cls3_cumsum(ind.astype(jnp.int32))
+        Fh = _shift_right(F, 5, 0)                  # F[x-5] at position x
+        FFv, FFok = _cls3_fwdfill(jnp.where(stop_m, Fh, 0), stop_m)
+        Fp = _shift_right(jnp.where(FFok, FFv, 0), 3, 0)
+        ex_real = (Fh - Fp) > 0                     # valid at stop positions
+        endF = F[:, Lp - 3:]                        # class k in column k
+        endFF = jnp.where(FFok, FFv, 0)[:, Lp - 3:]
+        ex_virt = (_sel3(endF, (xn3 + 1) % 3)
+                   - _sel3(endFF, xn3 % 3)) > 0     # (B, 3)
+        return jnp.concatenate([ex_real, ex_virt], axis=1)
+
+    ex_raw = seg_exists(std_valid & (raw > thresh))
+    ex_raw = ex_raw | (tr_valid & (raw_t > thresh))
+    any_ev = seg_exists(std_final) | tr_final
 
     std = {
         "valid": std_final, "pos": pos, "score": score, "slot": slot,
-        "trunc": jnp.zeros(Lp, dtype=bool), "sub": (c + 1) % 3,
+        "trunc": jnp.zeros((B, Lp), dtype=bool),
+        "sub": jnp.broadcast_to((c + 1) % 3, (B, Lp)),
     }
     tr = {
         "valid": tr_final, "pos": pos_t, "score": score_t,
-        "slot": jnp.arange(n_slots, dtype=jnp.int32),
-        "trunc": jnp.ones(n_slots, dtype=bool), "sub": (cS + 1) % 3,
+        "slot": jnp.broadcast_to(
+            jnp.arange(n_slots, dtype=jnp.int32)[None, :], (B, n_slots)),
+        "trunc": jnp.ones((B, n_slots), dtype=bool), "sub": (cS + 1) % 3,
     }
-    return std, tr, best_raw, any_ev
+    return std, tr, ex_raw, any_ev
 
 
 def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
@@ -840,42 +1062,90 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     min_j = max(min(3, min_gene_len - 3), min_gene_len - 3)
     ev_thresh = consts["event_threshold"]
 
-    u = jnp.arange(Lp, dtype=jnp.int32)
+    B = n.shape[0]
+    n2 = n[:, None]
+    u = jnp.arange(Lp, dtype=jnp.int32)[None, :]
     c = u % 3
-    i_close = _gather_guard(t["nstop_r"], u + 3, BIG)
-    slot = jnp.where(i_close < BIG // 2, i_close, Lp + c)
+    i_close = _shift_left(t["nstop_r"], 3, BIG)  # nstop_r[u+3]
+    is_real = i_close < BIG // 2
+    slot = jnp.where(is_real, i_close, Lp + c)
+    stop_m = t["is_rev_stop"]
 
-    emit = rv["emit"][slot]
-    lo = rv["lo"][slot]
-    hi = rv["hi"][slot]
-    top_j = rv["top_j"][slot]
-    t3 = rv["t3"][slot]
+    taa = lambda a: jnp.take_along_axis(a, slot, axis=1)
+
+    # slot -> member broadcast (rev placement: member u reads its closing
+    # stop at u+3); virtual tail selects by the STATIC class c
+    def prop(F):
+        Gv = _shift_left(F[:, :Lp], 3, jnp.zeros((), F.dtype))
+        Vv = _shift_left(stop_m, 3, False)
+        rf, anyv = _cls3_revfill(Gv, Vv)
+        return jnp.where(anyv, rf, _sel3(F[:, Lp:], c))
+
+    emit = prop(rv["emit"])
+
+    # member-local slot fields: the rev ORF's prev stop IS pstop_r[u]
+    # (nearest stop <= u in u's class), and its right boundary follows
+    # from i_close and the rev_next register init values
+    ip_m = t["pstop_r"]
+    has_prev = ip_m > -jnp.int32(BIG) // 2
+    vstop = jnp.where(c == 0, -1, jnp.where(c == 1, 0, -2))
+    orf_stop = jnp.where(has_prev, ip_m - 1, vstop)
+    lo = orf_stop + 3
+    x_ep = lo - 1
+    f_r = (n2 - 1 - x_ep) % 3
+    init_r = jnp.where(f_r == 0, n2 - 1, jnp.where(f_r == 1, n2 - 2, n2))
+    rn = jnp.minimum(init_r, jnp.where(is_real, i_close - 2, BIG))
+    inside = (x_ep >= 0) & (x_ep < n2)
+    hi = jnp.where(inside, rn, x_ep) + 1
+    mm = hi - lo
+    top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
+    t3 = orf_stop < 1
 
     j = u - lo - 1
     std_valid = (
-        emit & t["is_rev_start"][u] & (j >= min_j) & (j <= top_j)
+        emit & t["is_rev_start"] & (j >= min_j) & (j <= top_j)
         & (u <= hi - 2)
     )
-    which = t["which_rev"][u]
+    which = t["which_rev"]
 
     def raw_of(jv, lov, cv):
         a = _gather2(Sr, cv, lov - 2 + jv, 0.0)
         b = jnp.where(lov >= 2, _gather2(Sr, cv, lov - 2, 0.0), 0.0)
         return a - b
 
-    raw = raw_of(j, lo, c)
-    boost = (j + 2) > bank["ignore_score_len"][gi]
+    isl = bank["ignore_score_len"][gi][:, None]
+    prior = bank["prior"][gi].astype(jnp.float64)[:, None]
+    len_tab = bank["len_score"][gi]        # (B, 3, LN)
+    LN = len_tab.shape[2]
+    start_lo3 = bank["start_lo"][gi]       # (B, 3)
+
+    # raw = Sr[c, u-3] - (lo>=2 ? Sr[c, lo-2] : 0): the a-end is the class
+    # diagonal Rr shifted; the b-end is Rr at the member's previous stop
+    # (forward-fill), with per-class constants when there is none
+    xm3 = u % 3
+    Rr = jnp.where(
+        xm3 == 0, Sr[:, 0, :], jnp.where(xm3 == 1, Sr[:, 1, :], Sr[:, 2, :])
+    )
+    a = _shift_right(Rr, 3, 0.0)
+    FF2v, FF2ok = _cls3_fwdfill(jnp.where(stop_m, Rr, 0.0), stop_m)
+    b_np = jnp.stack(
+        [Sr[:, 0, 0], Sr[:, 1, 1], jnp.zeros((B,), Sr.dtype)], axis=1
+    )
+    b = jnp.where(FF2ok, FF2v, _sel3(b_np, c))
+    raw = a - b
+    boost = (j + 2) > isl
     raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
 
-    pos = u + 1  # REV_START event position = kk
-    pwm, sep = _pwm_rev(pw, pos)
-    score = raw + bank["prior"][gi].astype(jnp.float64)
+    pos = jnp.broadcast_to(u + 1, (B, Lp))  # REV_START event position = kk
+    pwm, sep = (pw["br"], pw["sr"]) if pw is not None else (
+        jnp.zeros((B, Lp), jnp.float64), jnp.zeros((B, Lp), jnp.int32))
+    score = raw + prior
     score = _add_pwm(score, pwm, sep)
-    start_sel = bank["start_lo"][gi][jnp.clip(which, 0, None)].astype(jnp.float64)
+    start_sel = _sel3(start_lo3, jnp.clip(which, 0, 2)).astype(jnp.float64)
     score = jnp.where(which >= 0, score + start_sel, score)
     len_row = jnp.where(t3, 1, 0)
-    len_idx = jnp.clip(j // 3 + 1, 0, bank["len_score"].shape[2] - 1)
-    score = score + bank["len_score"][gi][len_row, len_idx]
+    len_idx = jnp.clip(j // 3 + 1, 0, LN - 1)
+    score = score + _gather2(len_tab, len_row, len_idx, 0.0)
     std_pass = std_valid & (score > ev_thresh)
 
     s_emit, s_lo, s_hi = rv["emit"], rv["lo"], rv["hi"]
@@ -885,45 +1155,61 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     u_t = s_lo + s_top + 1
     cS = (s_lo + 1) % 3  # the ORF's stop-subscript class (lo == cu+2 mod 3)
     raw_t = raw_of(s_top, s_lo, cS)
-    boost_t = (s_top + 2) > bank["ignore_score_len"][gi]
+    boost_t = (s_top + 2) > isl
     raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
     pos_t = u_t + 1
     pwm_t, sep_t = _pwm_rev(pw, pos_t)
-    score_t = raw_t + bank["prior"][gi].astype(jnp.float64)
+    score_t = raw_t + prior
     score_t = _add_pwm(score_t, pwm_t, sep_t)
-    len_idx_t = jnp.clip(s_top // 3 + 1, 0, bank["len_score"].shape[2] - 1)
-    score_t = score_t + bank["len_score"][gi][jnp.where(s_t3, 2, 1), len_idx_t]
+    len_idx_t = jnp.clip(s_top // 3 + 1, 0, LN - 1)
+    score_t = score_t + _gather2(len_tab, jnp.where(s_t3, 2, 1), len_idx_t,
+                                 0.0)
     tr_pass = tr_valid & (score_t > ev_thresh)
 
     std_at_ut = _gather_guard(std_pass, u_t, False)
     std_score_ut = _gather_guard(score, u_t, -np.inf)
     tr_final = tr_pass & ~(std_at_ut & (std_score_ut > score_t))
-    kill = jnp.zeros(Lp, dtype=bool).at[jnp.clip(u_t, 0, Lp - 1)].max(
-        tr_pass & (std_score_ut <= score_t)
-    )
-    std_final = std_pass & ~kill[u]
+    # scatter-free kill: u is the truncated-start position only of its own
+    # ORF slot (u_t[slot[u]] == u)
+    kill_slot = tr_pass & (std_score_ut <= score_t)
+    kill = taa(kill_slot) & (taa(u_t) == u)
+    std_final = std_pass & ~kill
 
+    # scatter-free aggregates (see the forward-strand comment): rev run
+    # for slot s is the class-strided (prev_stop-3, s-3], all classes
+    # static, so the virtual columns read the class-end scans directly
     n_slots = Lp + 3
-    best_raw = jnp.full(n_slots, -jnp.inf).at[slot].max(
-        jnp.where(std_valid, raw, -jnp.inf)
-    )
-    best_raw = jnp.maximum(best_raw, jnp.where(tr_valid, raw_t, -jnp.inf))
-    any_ev = jnp.zeros(n_slots, dtype=bool).at[slot].max(std_final)
-    any_ev = any_ev | tr_final
+    thresh = consts["start_threshold"]
+
+    def seg_exists(ind):
+        F = _cls3_cumsum(ind.astype(jnp.int32))
+        Fh = _shift_right(F, 3, 0)                  # F[x-3] at position x
+        FFv, FFok = _cls3_fwdfill(jnp.where(stop_m, Fh, 0), stop_m)
+        Fp = _shift_right(jnp.where(FFok, FFv, 0), 3, 0)
+        ex_real = (Fh - Fp) > 0
+        ex_virt = (F[:, Lp - 3:]
+                   - jnp.where(FFok, FFv, 0)[:, Lp - 3:]) > 0
+        return jnp.concatenate([ex_real, ex_virt], axis=1)
+
+    ex_raw = seg_exists(std_valid & (raw > thresh))
+    ex_raw = ex_raw | (tr_valid & (raw_t > thresh))
+    any_ev = seg_exists(std_final) | tr_final
 
     std = {
         "valid": std_final, "pos": pos, "score": score, "slot": slot,
-        "trunc": jnp.zeros(Lp, dtype=bool), "sub": 3 + (c + 1) % 3,
+        "trunc": jnp.zeros((B, Lp), dtype=bool),
+        "sub": jnp.broadcast_to(3 + (c + 1) % 3, (B, Lp)),
     }
     # end-slot frame class: real slots use iC%3, end slots their f
-    idx = jnp.arange(n_slots, dtype=jnp.int32)
+    idx = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
     cslot = jnp.where(idx < Lp, idx % 3, idx - Lp)
     tr = {
         "valid": tr_final, "pos": pos_t, "score": score_t,
-        "slot": idx, "trunc": jnp.ones(n_slots, dtype=bool),
-        "sub": 3 + (cslot + 1) % 3,
+        "slot": jnp.broadcast_to(idx, (B, n_slots)),
+        "trunc": jnp.ones((B, n_slots), dtype=bool),
+        "sub": jnp.broadcast_to(3 + (cslot + 1) % 3, (B, n_slots)),
     }
-    return std, tr, best_raw, any_ev
+    return std, tr, ex_raw, any_ev
 
 
 # ---------------------------------------------------------------------------
@@ -936,12 +1222,15 @@ def _assign_ids(fw, rv, evprod_f, evprod_r, Lp):
     ORF processing order (ids appear in the .predict orfNNNNN column)."""
     import jax.numpy as jnp
 
+    B = evprod_f.shape[0]
     nk = 2 * Lp + 16
-    keyarr = jnp.zeros(nk, dtype=jnp.int32)
-    keyarr = keyarr.at[fw["key"]].add(evprod_f.astype(jnp.int32))
-    keyarr = keyarr.at[rv["key"]].add(evprod_r.astype(jnp.int32))
-    ranks = jnp.cumsum(keyarr)
-    return ranks[fw["key"]], ranks[rv["key"]]
+    rows = jnp.arange(B)[:, None]
+    keyarr = jnp.zeros((B, nk), dtype=jnp.int32)
+    keyarr = keyarr.at[rows, fw["key"]].add(evprod_f.astype(jnp.int32))
+    keyarr = keyarr.at[rows, rv["key"]].add(evprod_r.astype(jnp.int32))
+    ranks = jnp.cumsum(keyarr, axis=1)
+    return (jnp.take_along_axis(ranks, fw["key"], axis=1),
+            jnp.take_along_axis(ranks, rv["key"], axis=1))
 
 
 def _assemble_events(fam, Lp):
@@ -956,7 +1245,7 @@ def _assemble_events(fam, Lp):
     import jax.numpy as jnp
 
     def cat(key):
-        return jnp.concatenate([f[key] for f in fam])
+        return jnp.concatenate([f[key] for f in fam], axis=-1)
 
     valid = cat("valid")
     pos = cat("pos").astype(jnp.int32)
@@ -964,17 +1253,18 @@ def _assemble_events(fam, Lp):
     # sort on pos alone yields pos-then-rank order for any read length —
     # no packed key, no overflow for Lp beyond ~1.4 kb (r4 advisor high).
     sort_key = jnp.where(valid, pos, jnp.int32(2**30))
-    order = jnp.argsort(sort_key, stable=True)[:MAX_EVENTS]
+    order = jnp.argsort(sort_key, axis=-1, stable=True)[..., :MAX_EVENTS]
+    g = lambda a: jnp.take_along_axis(a, order, axis=-1)
 
     ev = {
-        "pos": pos[order],
-        "typ": jnp.where(valid[order], cat("typ").astype(jnp.int32)[order], 0),
-        "sub": cat("sub").astype(jnp.int32)[order],
-        "id": cat("id").astype(jnp.int32)[order],
-        "score": cat("score")[order],
-        "trunc": cat("trunc")[order],
+        "pos": g(pos),
+        "typ": jnp.where(g(valid), g(cat("typ").astype(jnp.int32)), 0),
+        "sub": g(cat("sub").astype(jnp.int32)),
+        "id": g(cat("id").astype(jnp.int32)),
+        "score": g(cat("score")),
+        "trunc": g(cat("trunc")),
     }
-    n_events = jnp.sum(valid.astype(jnp.int32))
+    n_events = jnp.sum(valid.astype(jnp.int32), axis=-1)
     return ev, n_events
 
 
@@ -1794,10 +2084,12 @@ def _traceback_batched(ev, score, bp, best, ne):
 
 
 def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
-    """Per-read candidate construction: ORF slots, start scoring, event
-    assembly — everything before the event DP. Returns (ev, n_events)."""
+    """BATCHED candidate construction: ORF slots, start scoring, event
+    assembly — everything before the event DP. seq (B, Lp), n/gi (B,),
+    gene6/ind6 (B, 6, Lp). Returns (ev of (B, E) arrays, n_events (B,))."""
     import jax.numpy as jnp
 
+    B = seq.shape[0]
     t = _read_tables(seq, n, gi, bank)
     fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"])
     rv = _rev_orf_slots(t, n, Lp, consts["min_gene_len"])
@@ -1813,34 +2105,39 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     std_r, tr_r, braw_r, anyev_r = _start_candidates_rev(
         t, rv, n, Lp, gi, bank, Sr, pw, consts
     )
-    evprod_f = fw["emit"] & (braw_f > consts["start_threshold"]) & anyev_f
-    evprod_r = rv["emit"] & (braw_r > consts["start_threshold"]) & anyev_r
+    # braw_* are already the boolean "any start's raw beats the
+    # start_threshold" existence tests (scatter-free segment form)
+    evprod_f = fw["emit"] & braw_f & anyev_f
+    evprod_r = rv["emit"] & braw_r & anyev_r
     id_f, id_r = _assign_ids(fw, rv, evprod_f, evprod_r, Lp)
 
     n_slots = Lp + 3
-    idx_slots = jnp.arange(n_slots, dtype=jnp.int32)
+    idx_slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
     cslot_r = jnp.where(idx_slots < Lp, idx_slots % 3, idx_slots - Lp)
-    zsc = jnp.zeros(n_slots, dtype=jnp.float64)
+    zsc = jnp.zeros((B, n_slots), dtype=jnp.float64)
+    taa = lambda a, i: jnp.take_along_axis(a, i, axis=1)
 
     fams = [
-        dict(std_f, valid=std_f["valid"] & evprod_f[std_f["slot"]],
-             typ=jnp.full(Lp, E_FWD_START, jnp.int32),
-             id=id_f[std_f["slot"]]),
+        dict(std_f, valid=std_f["valid"] & taa(evprod_f, std_f["slot"]),
+             typ=jnp.full((B, Lp), E_FWD_START, jnp.int32),
+             id=taa(id_f, std_f["slot"])),
         dict(tr_f, valid=tr_f["valid"] & evprod_f,
-             typ=jnp.full(n_slots, E_FWD_START, jnp.int32), id=id_f),
+             typ=jnp.full((B, n_slots), E_FWD_START, jnp.int32), id=id_f),
         dict(valid=evprod_f, pos=fw["stop_pos"] + 2,
-             score=zsc, sub=(fw["iS"] % 3 + 1) % 3,
-             typ=jnp.full(n_slots, E_FWD_STOP, jnp.int32), id=id_f,
-             trunc=jnp.zeros(n_slots, bool)),
-        dict(std_r, valid=std_r["valid"] & evprod_r[std_r["slot"]],
-             typ=jnp.full(Lp, E_REV_START, jnp.int32),
-             id=id_r[std_r["slot"]]),
+             score=zsc, sub=jnp.broadcast_to((fw["iS"] % 3 + 1) % 3,
+                                             (B, n_slots)),
+             typ=jnp.full((B, n_slots), E_FWD_STOP, jnp.int32), id=id_f,
+             trunc=jnp.zeros((B, n_slots), bool)),
+        dict(std_r, valid=std_r["valid"] & taa(evprod_r, std_r["slot"]),
+             typ=jnp.full((B, Lp), E_REV_START, jnp.int32),
+             id=taa(id_r, std_r["slot"])),
         dict(tr_r, valid=tr_r["valid"] & evprod_r,
-             typ=jnp.full(n_slots, E_REV_START, jnp.int32), id=id_r),
+             typ=jnp.full((B, n_slots), E_REV_START, jnp.int32), id=id_r),
         dict(valid=evprod_r, pos=rv["stop_pos"] + 2,
-             score=zsc, sub=3 + (cslot_r + 1) % 3,
-             typ=jnp.full(n_slots, E_REV_STOP, jnp.int32), id=id_r,
-             trunc=jnp.zeros(n_slots, bool)),
+             score=zsc, sub=jnp.broadcast_to(3 + (cslot_r + 1) % 3,
+                                             (B, n_slots)),
+             typ=jnp.full((B, n_slots), E_REV_STOP, jnp.int32), id=id_r,
+             trunc=jnp.zeros((B, n_slots), bool)),
     ]
     for f in fams:
         f.pop("slot", None)
@@ -1849,10 +2146,17 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
 
 
 def _predict_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+    """Legacy per-lane path (GLIMMER_MG_TPU_DP_BATCHED=0): wraps the
+    batched frontend on a size-1 batch, then the per-lane event DP."""
+    import jax
     import jax.numpy as jnp
 
     ne_cap = consts.get("ne_cap", MAX_EVENTS)
-    ev, n_events = _frontend_one(seq, n, gi, gene6, ind6, bank, Lp, consts)
+    ev_b, n_events_b = _frontend_one(
+        seq[None], n[None], gi[None], gene6[None], ind6[None], bank, Lp,
+        consts)
+    ev = jax.tree.map(lambda a: a[0], ev_b)
+    n_events = n_events_b[0]
     ne = jnp.minimum(n_events, ne_cap)
     score, bp, best = _event_dp(ev, gi, bank, consts, ne)
     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt = _traceback(
@@ -1940,13 +2244,8 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
             if batched:
 
                 def run(bj, reads, lengths, groups, gene6, ind6):
-                    def front(seq, n, gi, g6, i6):
-                        return _frontend_one(seq, n, gi, g6, i6, bj, Lp,
-                                             consts)
-
-                    ev, n_events = jax.vmap(
-                        front, in_axes=(0, 0, 0, 0, 0)
-                    )(reads, lengths, groups, gene6, ind6)
+                    ev, n_events = _frontend_one(
+                        reads, lengths, groups, gene6, ind6, bj, Lp, consts)
                     ne_cap = consts.get("ne_cap", MAX_EVENTS)
                     ne = jnp.minimum(n_events, ne_cap)
                     adjb = _prefetch_adj(bj, groups, MAX_EVENTS)
