@@ -537,47 +537,74 @@ def _fwd_orf_slots(t, n, Lp, min_gene_len):
     B = n.shape[0]
     nBIG = jnp.int32(BIG)
     n2 = n[:, None]
-    iS = jnp.concatenate(
-        [jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32)[None, :], (B, Lp)),
-         n2 + jnp.arange(3, dtype=jnp.int32)[None, :]], axis=1
-    )
-    real = (jnp.arange(Lp + 3) < Lp)[None, :]
-    slot_exists = jnp.where(
-        real, jnp.pad(t["is_fwd_stop"], ((0, 0), (0, 3))), True
-    )
+    k3 = jnp.arange(3, dtype=jnp.int32)[None, :]
+    stop_m = t["is_fwd_stop"]
+    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
 
-    c = iS % 3
-    # previous stop in class: real -> pstop[iS-3]; virtual -> last real stop
+    # real rows are position-indexed (values only consumed at stop
+    # positions); virtual rows are the 3 trailing columns — everything is
+    # shifts, class fill scans, and 3-column selects (no wide gathers;
+    # each XLA gather costs ~5.4 ms at this shape, profiler-measured r5)
+    iS_r = jnp.broadcast_to(pos, (B, Lp))
+    iS_v = n2 + k3
+    cv = iS_v % 3
+
     pst3 = _shift_right(t["pstop_f"], 3, -nBIG)
-    last_in_cls = jnp.take_along_axis(t["pstop_f"], Lp - 3 + c, axis=1)
-    ip = jnp.where(real, _gather_guard(pst3, iS, -nBIG), last_in_cls)
-    has_prev = ip > -nBIG // 2
+    ip_r = pst3
+    ip_v = _sel3(t["pstop_f"][:, Lp - 3:], cv)  # last stop in the class
+    has_prev_r = ip_r > -nBIG // 2
+    has_prev_v = ip_v > -nBIG // 2
 
-    # first fwd start strictly after the previous stop (subscript > ip),
-    # or (no previous stop) the first class position >= 2
-    c0 = jnp.where(c == 2, 2, c + 3)
-    q_from = jnp.where(has_prev, ip + 3, c0)
-    s_star = _gather_guard(t["nstart_f"], q_from, nBIG)
-    gene_len = jnp.where(s_star < iS, iS - s_star, 0)
+    # first fwd start after the previous stop: forward-fill of
+    # nstart_f[p+3] placed at stop positions, read at s-3 / class end
+    H = _shift_left(t["nstart_f"], 3, nBIG)
+    FFv, FFok = _cls3_fwdfill(jnp.where(stop_m, H, nBIG), stop_m)
+    ssp = jnp.where(FFok, FFv, nBIG)
+    ss_prev_r = _shift_right(ssp, 3, nBIG)
+    ss_prev_v = _sel3(ssp[:, Lp - 3:], cv)
+    np_cols = jnp.stack(
+        [t["nstart_f"][:, 3], t["nstart_f"][:, 4], t["nstart_f"][:, 2]],
+        axis=1)                                   # no-prev: nstart_f[c0]
+    ss_np_r = _sel3(np_cols, jnp.broadcast_to(pos % 3, (B, Lp)))
+    ss_np_v = _sel3(np_cols, cv)
+    s_star_r = jnp.where(has_prev_r, ss_prev_r, ss_np_r)
+    s_star_v = jnp.where(has_prev_v, ss_prev_v, ss_np_v)
 
-    orf_len = jnp.where(has_prev, iS - ip - 3, (iS - 2) - ((iS - 2) % 3))
-    gene_len = jnp.where(
-        (~has_prev) & (gene_len < min_gene_len), orf_len, gene_len
-    )
-    emit = slot_exists & (gene_len >= min_gene_len)
+    def gene_emit(iS, ip, has_prev, s_star, slot_exists):
+        gl = jnp.where(s_star < iS, iS - s_star, 0)
+        ol = jnp.where(has_prev, iS - ip - 3, (iS - 2) - ((iS - 2) % 3))
+        gl = jnp.where((~has_prev) & (gl < min_gene_len), ol, gl)
+        return slot_exists & (gl >= min_gene_len)
 
-    # scorer bounds (Cumulative_Frame_Score segment)
+    emit_r = gene_emit(iS_r, ip_r, has_prev_r, s_star_r, stop_m)
+    emit_v = gene_emit(iS_v, ip_v, has_prev_v, s_star_v, True)
+
+    # scorer bounds (Cumulative_Frame_Score segment): lo = fps(iS-3)+1
+    lo_r = jnp.where(
+        pos >= 3, _shift_right(t["fwd_prev"], 3, 0), pos - 3
+    ) + 1
+    xv = n2 + k3 - 3
+    fpv = _gather_guard(t["fwd_prev"], xv, 0)
+    lo_v = jnp.where((xv >= 0) & (xv < n2), fpv, xv) + 1
+
+    def cat(a, b):
+        return jnp.concatenate(
+            [jnp.broadcast_to(a, (B, Lp)), jnp.broadcast_to(b, (B, 3))],
+            axis=1)
+
+    iS = cat(iS_r, iS_v)
+    emit = cat(emit_r, emit_v)
+    lo = cat(lo_r, lo_v)
     hi = iS - 2
-    lo = _fps(t, n, hi - 1) + 1
     mm = hi - lo
     top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
     orf_trunc = lo < 3
-    t3 = iS >= n2  # stop_position > n - 2
-    key = jnp.where(real, 2 * iS + 1, 2 * Lp + 8 + (iS - n2))
+    t3 = cat(jnp.broadcast_to(pos, (B, Lp)) >= n2, jnp.ones((B, 3), bool))
+    key = cat(2 * iS_r + 1, 2 * Lp + 8 + k3 + jnp.zeros((B, 3), jnp.int32))
     return {
         "iS": iS, "emit": emit, "lo": lo, "hi": hi, "mm": mm,
         "top_j": top_j, "orf_trunc": orf_trunc, "t3": t3, "key": key,
-        "stop_pos": iS - 1, "ip": ip,
+        "stop_pos": iS - 1,
     }
 
 
@@ -590,53 +617,92 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
     """
     import jax.numpy as jnp
 
+    B = n.shape[0]
     nBIG = jnp.int32(BIG)
     n2 = n[:, None]
-    idx = jnp.arange(Lp + 3, dtype=jnp.int32)[None, :]
-    real = idx < Lp
-    iC = jnp.where(real, idx, n2 + (idx - Lp))  # closing boundary subscript
-    cls = iC % 3
-    f_end = idx - Lp  # end-slot frame class (host Finish_Orfs f)
-    c = jnp.where(real, cls, f_end)
-    slot_exists = jnp.where(
-        real, jnp.pad(t["is_rev_stop"], ((0, 0), (0, 3))), True
-    )
+    k3 = jnp.arange(3, dtype=jnp.int32)[None, :]
+    stop_m = t["is_rev_stop"]
+    pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+
+    # real rows position-indexed (consumed at stop positions), end slots
+    # are the 3 trailing columns with STATIC classes 0..2 — all shifts,
+    # fill scans, and column selects (see the forward builder's comment)
+    c_r = jnp.broadcast_to(pos % 3, (B, Lp))
+    slot_exists_r = stop_m
 
     pst3 = _shift_right(t["pstop_r"], 3, -nBIG)
-    last_in_cls = jnp.take_along_axis(t["pstop_r"], Lp - 3 + c, axis=1)
-    ip = jnp.where(real, _gather_guard(pst3, iC, -nBIG), last_in_cls)
-    has_prev = ip > -nBIG // 2
+    ip_r = pst3
+    ip_v = t["pstop_r"][:, Lp - 3:]              # class tops, column k
+    has_prev_r = ip_r > -nBIG // 2
+    has_prev_v = ip_v > -nBIG // 2
 
-    vstop = jnp.where(c == 0, -1, jnp.where(c == 1, 0, -2))
-    orf_stop = jnp.where(has_prev, ip - 1, vstop)
+    def vstop_of(c):
+        return jnp.where(c == 0, -1, jnp.where(c == 1, 0, -2))
 
-    # last rev start strictly inside the segment and before the boundary
-    bound = jnp.where(real, iC, n2)  # end slots: subscripts < n
-    ls = _gather_guard(t["pstart_r"], bound - 3, -nBIG)
-    ls_ok = (ls > jnp.where(has_prev, ip, -nBIG)) & (ls > -nBIG // 2)
-    gene_len = jnp.where(ls_ok, (ls - 1) - orf_stop, 0)
+    orf_stop_r = jnp.where(has_prev_r, ip_r - 1, vstop_of(c_r))
+    orf_stop_v = jnp.where(has_prev_v, ip_v - 1, vstop_of(k3))
 
-    end_orf_len = n2 - orf_stop - 2
+    # last rev start inside the segment
+    ls_r = _shift_right(t["pstart_r"], 3, -nBIG)       # pstart_r[iC-3]
+    ls_v = _gather_guard(
+        t["pstart_r"], jnp.broadcast_to(n2 - 3, (B, 3)), -nBIG)
+
+    def gene_emit(ls, ip, has_prev, orf_stop, orf_len, slot_exists):
+        ls_ok = (ls > jnp.where(has_prev, ip, -nBIG)) & (ls > -nBIG // 2)
+        gl = jnp.where(ls_ok, (ls - 1) - orf_stop, 0)
+        return gl, ls_ok
+
+    gl_r, _ok = gene_emit(ls_r, ip_r, has_prev_r, orf_stop_r, None, None)
+    emit_r = slot_exists_r & (gl_r >= min_gene_len)
+    gl_v, _okv = gene_emit(ls_v, ip_v, has_prev_v, orf_stop_v, None, None)
+    end_orf_len = n2 - orf_stop_v - 2
     end_orf_len = end_orf_len - end_orf_len % 3
-    orf_len = jnp.where(real, bound - orf_stop - 4, end_orf_len)
-    # allow_truncated fill applies only to the end-of-sequence handler
-    gene_len = jnp.where(
-        (~real) & (gene_len < min_gene_len), orf_len, gene_len
-    )
-    emit = slot_exists & (gene_len >= min_gene_len)
+    gl_v = jnp.where(gl_v < min_gene_len, end_orf_len, gl_v)
+    emit_v = gl_v >= min_gene_len
 
-    end_point = orf_stop + 3
-    lo = end_point
-    hi = _rns(t, n, end_point - 1) + 1
+    # hi = rev_next[end_point - 1] + 1: the has-prev branch reads the
+    # register at prev_stop+1 (forward-fill of rev_next[p+1] placed at
+    # stops), the no-prev branch reads fixed columns {1,2,0} per class
+    Hn = _shift_left(t["rev_next"], 1, 0)
+    FFn, FFnok = _cls3_fwdfill(jnp.where(stop_m, Hn, 0), stop_m)
+    rn_cols = jnp.stack(
+        [t["rev_next"][:, 1], t["rev_next"][:, 2], t["rev_next"][:, 0]],
+        axis=1)                                    # x = vstop+2 in {1,2,0}
+
+    def hi_of(x_ep, ff_val, has_prev, c):
+        rnv = jnp.where(has_prev, ff_val, _sel3(rn_cols, c))
+        inside = (x_ep >= 0) & (x_ep < n2)
+        return jnp.where(inside, rnv, x_ep) + 1
+
+    x_r = orf_stop_r + 2
+    ff_r = _shift_right(jnp.where(FFnok, FFn, 0), 3, 0)
+    hi_r = hi_of(x_r, ff_r, has_prev_r, c_r)
+    x_v = orf_stop_v + 2
+    ff_v = jnp.where(FFnok, FFn, 0)[:, Lp - 3:]    # class-end fill, col k
+    hi_v = hi_of(x_v, ff_v, has_prev_v, k3)
+
+    def cat(a, b):
+        return jnp.concatenate(
+            [jnp.broadcast_to(a, (B, Lp)), jnp.broadcast_to(b, (B, 3))],
+            axis=1)
+
+    idx = jnp.arange(Lp + 3, dtype=jnp.int32)[None, :]
+    real = idx < Lp
+    iC = cat(jnp.broadcast_to(pos, (B, Lp)), n2 + k3)
+    c = cat(c_r, k3)
+    orf_stop = cat(orf_stop_r, orf_stop_v)
+    emit = cat(emit_r, emit_v)
+    hi = cat(hi_r, hi_v)
+    lo = orf_stop + 3
     mm = hi - lo
     top_j = jnp.maximum(((mm - 1) // 3) * 3, -3)
     orf_trunc = (n2 - (hi - 1)) < 3
     t3 = orf_stop < 1
-    key = jnp.where(real, 2 * iC, 2 * Lp + 4 + f_end)
+    key = jnp.where(real, 2 * iC, 2 * Lp + 4 + (idx - Lp))
     return {
         "iC": iC, "emit": emit, "lo": lo, "hi": hi, "mm": mm,
         "top_j": top_j, "orf_trunc": orf_trunc, "t3": t3, "key": key,
-        "stop_pos": orf_stop, "ip": ip, "c": c,
+        "stop_pos": orf_stop, "c": c,
     }
 
 
@@ -671,16 +737,15 @@ def _frame_prefix_sums(gene6, ind6, n, Lp):
                 + (jnp.arange(3 * Lp, dtype=jnp.int32)[None, :] // Lp) * Lp)
 
     def rev3(x):
-        fl = jnp.flip(x[:, :3], axis=-1).reshape(B, 3 * Lp)
+        fl = jnp.flip(x, axis=-1).reshape(B, 3 * Lp)
         return jnp.take_along_axis(fl, flat_idx, axis=1).reshape(B, 3, Lp)
 
-    rev_g = rev3(gene6)
-    rev_i = rev3(ind6)
-    fs_f = jnp.where(
-        valid[:, None, :],
-        rev_g.astype(jnp.float64) - rev_i.astype(jnp.float64),
-        0.0,
-    )
+    # flip/roll commutes with the elementwise f64 subtraction, so ONE
+    # rolled gather on the difference replaces two (the roll gather is the
+    # frontend's single most expensive op: ~16 ms at (1024, 3*513))
+    diff_f = gene6[:, :3].astype(jnp.float64) - ind6[:, :3].astype(
+        jnp.float64)
+    fs_f = jnp.where(valid[:, None, :], rev3(diff_f), 0.0)
     fs_r = jnp.where(
         valid[:, None, :],
         gene6[:, 3:].astype(jnp.float64) - ind6[:, 3:].astype(jnp.float64),
@@ -979,13 +1044,28 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     score = score + _gather2(len_tab, len_row, len_idx, 0.0)
     std_pass = std_valid & (score > ev_thresh)
 
-    # --- truncated first-start entries (one per fwd-ORF slot) ---
-    s_emit = fw["emit"]
-    s_lo, s_hi, s_mm, s_top = fw["lo"], fw["hi"], fw["mm"], fw["top_j"]
-    s_trunc, s_t3 = fw["orf_trunc"], fw["t3"]
+    # --- truncated first-start entries on a (B, 6) domain: 5'-truncation
+    # (lo < 3) is only possible for the FIRST ORF of each class chain
+    # (real stop subscripts are >= 2, so later ORFs have lo >= 3) plus the
+    # 3 virtual end slots — all tr work shrinks to 6 tiny columns ---
+    first_stop = t["nstop_f"][:, :3]             # first stop per class
+    has_first = first_stop < BIG // 2
+    slot6 = jnp.concatenate(
+        [jnp.where(has_first, first_stop, -1),
+         Lp + jnp.zeros((B, 3), jnp.int32)
+         + jnp.arange(3, dtype=jnp.int32)[None, :]], axis=1)  # (B, 6)
+    valid6 = jnp.concatenate(
+        [has_first, jnp.ones((B, 3), bool)], axis=1)
+    slot6c = jnp.clip(slot6, 0, Lp + 2)
+    g6 = lambda a: jnp.take_along_axis(a, slot6c, axis=1)
+
+    s_emit = g6(fw["emit"]) & valid6
+    s_hi, s_mm, s_top = g6(fw["hi"]), g6(fw["mm"]), g6(fw["top_j"])
+    s_trunc, s_t3 = g6(fw["orf_trunc"]), g6(fw["t3"])
+    iS6 = g6(fw["iS"])
     tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
     q_t = s_hi - 3 - s_top
-    cS = fw["iS"] % 3
+    cS = iS6 % 3
     raw_t = raw_of(s_top, s_hi, cS)
     boost_t = (s_top + 2) > isl
     raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
@@ -1003,11 +1083,12 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     std_at_qt = _gather_guard(std_pass, q_t, False)
     std_score_qt = _gather_guard(score, q_t, -np.inf)
     tr_final = tr_pass & ~(std_at_qt & (std_score_qt > score_t))
-    # kill[q] inverted without a scatter: q can only be the truncated-start
-    # position of ITS OWN ORF slot (q_t[slot[q]] == q), so gather the
-    # condition back through `slot`
+    # kill without a scatter: compare q against each of the 6 candidate
+    # truncated-start positions
     kill_slot = tr_pass & (std_score_qt <= score_t)
-    kill = taa(kill_slot) & (taa(q_t) == q)
+    kill = jnp.zeros((B, Lp), bool)
+    for k in range(6):
+        kill = kill | ((q == q_t[:, k:k + 1]) & kill_slot[:, k:k + 1])
     std_final = std_pass & ~kill
 
     # --- per-ORF aggregates over the start_list (host score_orfs_errors:
@@ -1036,8 +1117,14 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
         return jnp.concatenate([ex_real, ex_virt], axis=1)
 
     ex_raw = seg_exists(std_valid & (raw > thresh))
-    ex_raw = ex_raw | (tr_valid & (raw_t > thresh))
-    any_ev = seg_exists(std_final) | tr_final
+    any_ev = seg_exists(std_final)
+    # fold the 6 tr columns back into the slot-domain aggregates
+    sNS = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+    tr_raw6 = tr_valid & (raw_t > thresh)
+    for k in range(6):
+        hit = sNS == slot6[:, k:k + 1]
+        ex_raw = ex_raw | (hit & tr_raw6[:, k:k + 1])
+        any_ev = any_ev | (hit & tr_final[:, k:k + 1])
 
     std = {
         "valid": std_final, "pos": pos, "score": score, "slot": slot,
@@ -1046,9 +1133,8 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     }
     tr = {
         "valid": tr_final, "pos": pos_t, "score": score_t,
-        "slot": jnp.broadcast_to(
-            jnp.arange(n_slots, dtype=jnp.int32)[None, :], (B, n_slots)),
-        "trunc": jnp.ones((B, n_slots), dtype=bool), "sub": (cS + 1) % 3,
+        "slot": slot6c,
+        "trunc": jnp.ones((B, 6), dtype=bool), "sub": (cS + 1) % 3,
     }
     return std, tr, ex_raw, any_ev
 
@@ -1148,9 +1234,23 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     score = score + _gather2(len_tab, len_row, len_idx, 0.0)
     std_pass = std_valid & (score > ev_thresh)
 
-    s_emit, s_lo, s_hi = rv["emit"], rv["lo"], rv["hi"]
-    s_mm, s_top = rv["mm"], rv["top_j"]
-    s_trunc, s_t3 = rv["orf_trunc"], rv["t3"]
+    # --- truncated entries on a (B, 6) domain: 3'-truncation is only
+    # possible for the LAST ORF of each class chain (a later stop would
+    # pull hi-1 at least 3 below n) plus the 3 end slots ---
+    last_stop = t["pstop_r"][:, Lp - 3:]         # last stop per class
+    has_last = last_stop > -jnp.int32(BIG) // 2
+    slot6 = jnp.concatenate(
+        [jnp.where(has_last, last_stop, -1),
+         Lp + jnp.zeros((B, 3), jnp.int32)
+         + jnp.arange(3, dtype=jnp.int32)[None, :]], axis=1)  # (B, 6)
+    valid6 = jnp.concatenate([has_last, jnp.ones((B, 3), bool)], axis=1)
+    slot6c = jnp.clip(slot6, 0, Lp + 2)
+    g6 = lambda a: jnp.take_along_axis(a, slot6c, axis=1)
+
+    s_emit = g6(rv["emit"]) & valid6
+    s_lo, s_hi = g6(rv["lo"]), g6(rv["hi"])
+    s_mm, s_top = g6(rv["mm"]), g6(rv["top_j"])
+    s_trunc, s_t3 = g6(rv["orf_trunc"]), g6(rv["t3"])
     tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
     u_t = s_lo + s_top + 1
     cS = (s_lo + 1) % 3  # the ORF's stop-subscript class (lo == cu+2 mod 3)
@@ -1169,10 +1269,10 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     std_at_ut = _gather_guard(std_pass, u_t, False)
     std_score_ut = _gather_guard(score, u_t, -np.inf)
     tr_final = tr_pass & ~(std_at_ut & (std_score_ut > score_t))
-    # scatter-free kill: u is the truncated-start position only of its own
-    # ORF slot (u_t[slot[u]] == u)
     kill_slot = tr_pass & (std_score_ut <= score_t)
-    kill = taa(kill_slot) & (taa(u_t) == u)
+    kill = jnp.zeros((B, Lp), bool)
+    for k in range(6):
+        kill = kill | ((u == u_t[:, k:k + 1]) & kill_slot[:, k:k + 1])
     std_final = std_pass & ~kill
 
     # scatter-free aggregates (see the forward-strand comment): rev run
@@ -1192,22 +1292,27 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
         return jnp.concatenate([ex_real, ex_virt], axis=1)
 
     ex_raw = seg_exists(std_valid & (raw > thresh))
-    ex_raw = ex_raw | (tr_valid & (raw_t > thresh))
-    any_ev = seg_exists(std_final) | tr_final
+    any_ev = seg_exists(std_final)
+    sNS = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+    tr_raw6 = tr_valid & (raw_t > thresh)
+    for k in range(6):
+        hit = sNS == slot6[:, k:k + 1]
+        ex_raw = ex_raw | (hit & tr_raw6[:, k:k + 1])
+        any_ev = any_ev | (hit & tr_final[:, k:k + 1])
 
     std = {
         "valid": std_final, "pos": pos, "score": score, "slot": slot,
         "trunc": jnp.zeros((B, Lp), dtype=bool),
         "sub": jnp.broadcast_to(3 + (c + 1) % 3, (B, Lp)),
     }
-    # end-slot frame class: real slots use iC%3, end slots their f
-    idx = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
-    cslot = jnp.where(idx < Lp, idx % 3, idx - Lp)
+    # end-slot frame class: real slots use iC%3 (== the class-top column
+    # index), end slots their f
+    cslot6 = jnp.where(slot6c < Lp, slot6c % 3, slot6c - Lp)
     tr = {
         "valid": tr_final, "pos": pos_t, "score": score_t,
-        "slot": jnp.broadcast_to(idx, (B, n_slots)),
-        "trunc": jnp.ones((B, n_slots), dtype=bool),
-        "sub": jnp.broadcast_to(3 + (cslot + 1) % 3, (B, n_slots)),
+        "slot": slot6c,
+        "trunc": jnp.ones((B, 6), dtype=bool),
+        "sub": 3 + (cslot6 + 1) % 3,
     }
     return std, tr, ex_raw, any_ev
 
@@ -2117,22 +2222,43 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     zsc = jnp.zeros((B, n_slots), dtype=jnp.float64)
     taa = lambda a, i: jnp.take_along_axis(a, i, axis=1)
 
+    # slot -> member propagation of the per-ORF gate + id (the gather-free
+    # slot broadcast; see _start_candidates_fwd)
+    q = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    stop_f = t["is_fwd_stop"]
+    stop_r = t["is_rev_stop"]
+    vcls_f = (q + 2 - n[:, None]) % 3
+    cr = jnp.broadcast_to(q % 3, (B, Lp))
+
+    def prop_mk(stop_mask, shift, vsel):
+        def prop(F):
+            rf, anyv = _cls3_revfill(
+                _shift_left(F[:, :Lp], shift, jnp.zeros((), F.dtype)),
+                _shift_left(stop_mask, shift, False))
+            return jnp.where(anyv, rf, _sel3(F[:, Lp:], vsel))
+        return prop
+
+    prop_f = prop_mk(stop_f, 5, vcls_f)
+    prop_r = prop_mk(stop_r, 3, cr)
+
     fams = [
-        dict(std_f, valid=std_f["valid"] & taa(evprod_f, std_f["slot"]),
+        dict(std_f, valid=std_f["valid"] & prop_f(evprod_f),
              typ=jnp.full((B, Lp), E_FWD_START, jnp.int32),
-             id=taa(id_f, std_f["slot"])),
-        dict(tr_f, valid=tr_f["valid"] & evprod_f,
-             typ=jnp.full((B, n_slots), E_FWD_START, jnp.int32), id=id_f),
+             id=prop_f(id_f)),
+        dict(tr_f, valid=tr_f["valid"] & taa(evprod_f, tr_f["slot"]),
+             typ=jnp.full((B, 6), E_FWD_START, jnp.int32),
+             id=taa(id_f, tr_f["slot"])),
         dict(valid=evprod_f, pos=fw["stop_pos"] + 2,
              score=zsc, sub=jnp.broadcast_to((fw["iS"] % 3 + 1) % 3,
                                              (B, n_slots)),
              typ=jnp.full((B, n_slots), E_FWD_STOP, jnp.int32), id=id_f,
              trunc=jnp.zeros((B, n_slots), bool)),
-        dict(std_r, valid=std_r["valid"] & taa(evprod_r, std_r["slot"]),
+        dict(std_r, valid=std_r["valid"] & prop_r(evprod_r),
              typ=jnp.full((B, Lp), E_REV_START, jnp.int32),
-             id=taa(id_r, std_r["slot"])),
-        dict(tr_r, valid=tr_r["valid"] & evprod_r,
-             typ=jnp.full((B, n_slots), E_REV_START, jnp.int32), id=id_r),
+             id=prop_r(id_r)),
+        dict(tr_r, valid=tr_r["valid"] & taa(evprod_r, tr_r["slot"]),
+             typ=jnp.full((B, 6), E_REV_START, jnp.int32),
+             id=taa(id_r, tr_r["slot"])),
         dict(valid=evprod_r, pos=rv["stop_pos"] + 2,
              score=zsc, sub=jnp.broadcast_to(3 + (cslot_r + 1) % 3,
                                              (B, n_slots)),
