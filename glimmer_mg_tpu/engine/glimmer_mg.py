@@ -423,14 +423,6 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
             return None
         _lru_put(_DEVICE_BANK_CACHE, bank_key, bank, _DEVICE_BANK_CAP)
 
-    reads = np.zeros((b_pad, l_pad), dtype=np.int32)
-    for r, (seq_idx, *_rest) in enumerate(pending_jobs):
-        reads[r, : len(seq_idx)] = seq_idx
-    lens = np.zeros(b_pad, dtype=np.int32)
-    lens[: len(pending_jobs)] = np.minimum(lengths, l_pad)
-    grp = np.zeros(b_pad, dtype=np.int32)
-    grp[: len(pending_jobs)] = group
-
     # six-frame f32 LLR tables stay on device; DP consumes them in place
     from ..ops import icm_score
 
@@ -441,23 +433,51 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
     if use_pallas:
         from ..ops import icm_pallas
 
+        # ONE canonical group-sorted layout shared by the six-frame kernel
+        # and the DP batch: reads cross the host link once, 2-bit packed
+        # (~0.13 MB/1k-read chunk vs ~6 MB before — the tunnel on this rig
+        # runs ~35 MB/s), variants/permutes all happen on device
+        layout = icm_pallas.plan_group_layout(group, l_pad)
+        row_src = layout[0]
+        packed, lens, grp = dpk.pack_reads(
+            [s for s, *_ in pending_jobs], row_src, l_pad, group)
+        reads_dev = dpk.unpack_reads(jax.device_put(packed), l_pad)
+
         gene6, ind6 = icm_pallas.mg_six_frame_pallas(
             bank.gene_mip, bank.gene_probs, bank.indep_mip, bank.indep_probs,
-            reads, lens, grp, model_len=bank.model_len, depth=bank.depth,
+            reads_dev, lens, grp, model_len=bank.model_len, depth=bank.depth,
             gene_periodicity=bank.periodicity,
-            cache_key=(bank_key, "devdp"),
+            cache_key=(bank_key, "devdp"), layout=layout,
         )
+        outs = dpk.predict_batch_device(
+            bank, reads_dev, lens, grp, gene6, ind6, cache_key=bank_key
+        )
+        genes_rows, overflow_rows = dpk.finish_genes(outs, len(row_src))
+        genes = [None] * len(pending_jobs)
+        overflow = np.zeros(len(pending_jobs), bool)
+        for row, src in enumerate(row_src):
+            if src >= 0:
+                genes[src] = genes_rows[row]
+                overflow[src] = overflow_rows[row]
     else:
+        reads = np.zeros((b_pad, l_pad), dtype=np.int32)
+        for r, (seq_idx, *_rest) in enumerate(pending_jobs):
+            reads[r, : len(seq_idx)] = seq_idx
+        lens = np.zeros(b_pad, dtype=np.int32)
+        lens[: len(pending_jobs)] = np.minimum(lengths, l_pad)
+        grp = np.zeros(b_pad, dtype=np.int32)
+        grp[: len(pending_jobs)] = group
+
         gene6, ind6 = icm_score.mg_six_frame_batch(
             bank.gene_mip, bank.gene_probs, bank.indep_mip, bank.indep_probs,
             reads, lens, grp, model_len=bank.model_len, depth=bank.depth,
             gene_periodicity=bank.periodicity,
         )
+        outs = dpk.predict_batch_device(
+            bank, reads, lens, grp, gene6, ind6, cache_key=bank_key
+        )
+        genes, overflow = dpk.finish_genes(outs, len(pending_jobs))
 
-    outs = dpk.predict_batch_device(
-        bank, reads, lens, grp, gene6, ind6, cache_key=bank_key
-    )
-    genes, overflow = dpk.finish_genes(outs, len(pending_jobs))
     for r, (seq_idx, models, quals, have_qual) in enumerate(pending_jobs):
         if overflow[r]:
             genes[r] = _predict_read_with_models(

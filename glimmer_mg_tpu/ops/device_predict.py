@@ -2311,6 +2311,48 @@ def _bank_jnp(bank: DeviceBank):
     return {f: jnp.asarray(getattr(bank, f)) for f in fields}
 
 
+@functools.lru_cache(maxsize=1)
+def _unpack_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("ln",))
+    def run(p, ln):
+        sh = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+        u = (p[:, :, None] >> sh) & jnp.uint8(3)
+        return u.reshape(p.shape[0], -1)[:, :ln].astype(jnp.int32)
+
+    return run
+
+
+def unpack_reads(packed, l: int):
+    """(B, ceil(l/4)) uint8 with 4 bases/byte -> (B, l) int32 on device.
+
+    The 2-bit packing cuts the per-chunk host->device upload 8x; on this
+    rig's 35 MB/s tunnel that is ~55 ms/1k-read chunk (measured r5)."""
+    return _unpack_jit()(packed, l)
+
+
+def pack_reads(jobs, row_src, l: int, groups):
+    """Host-side 2-bit packing of job sequences into a planned row layout.
+    Returns (packed (B2, ceil(l/4)) uint8, lens2 (B2,), grp2 (B2,))."""
+    B2 = len(row_src)
+    l4 = -(-l // 4) * 4
+    buf = np.zeros((B2, l4), dtype=np.uint8)
+    lens2 = np.zeros(B2, dtype=np.int32)
+    grp2 = np.zeros(B2, dtype=np.int32)
+    for row, src in enumerate(row_src):
+        if src >= 0:
+            s = jobs[src]
+            ln = min(len(s), l)
+            buf[row, :ln] = s[:ln]
+            lens2[row] = ln
+            grp2[row] = groups[src]
+    packed = (buf[:, 0::4] | (buf[:, 1::4] << 2)
+              | (buf[:, 2::4] << 4) | (buf[:, 3::4] << 6))
+    return packed, lens2, grp2
+
+
 def use_f64_default() -> bool:
     """DP score precision: f64 (reference-matching C doubles, emulated on
     TPU) unless GLIMMER_MG_TPU_DEVICE_DP_F32=1 selects the f32 carry

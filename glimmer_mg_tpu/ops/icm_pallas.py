@@ -556,6 +556,48 @@ def _pick_reads_per_block(l: int, groups: int = 4, target: int = 4096) -> int:
     raise ValueError(f"read length {l} incompatible with lane quantum")
 
 
+def plan_group_layout(grp, l):
+    """Group-sorted, block-padded row layout shared by the six-frame
+    kernel and the DP batch (rows of one kernel block must be
+    model-homogeneous). Returns (row_src (B2,) int64 with -1 pads,
+    block_groups (n_rb,) int32, rpb)."""
+    grp = np.asarray(grp)
+    rpb = _pick_reads_per_block(l)
+    order = np.argsort(grp, kind="stable")
+    sorted_groups = grp[order]
+    present = np.unique(sorted_groups)
+    rows: list = []
+    block_groups: list = []
+    for gi in present:
+        lo, hi = np.searchsorted(sorted_groups, [gi, gi + 1])
+        members = order[lo:hi]
+        padded_n = -(-len(members) // rpb) * rpb
+        rows.extend(members.tolist())
+        rows.extend([-1] * (padded_n - len(members)))
+        block_groups.extend([int(gi)] * (padded_n // rpb))
+    b2 = len(rows)
+    quantum = rpb * max(8, -(-128 // rpb))
+    b2_pad = max(rpb, -(-b2 // quantum) * quantum)
+    rows.extend([-1] * (b2_pad - b2))
+    block_groups.extend([int(present[0]) if len(present) else 0]
+                        * ((b2_pad - b2) // rpb))
+    return (np.asarray(rows, dtype=np.int64),
+            np.asarray(block_groups, dtype=np.int32), rpb)
+
+
+def _variants_device(reads_dev, lens_dev, l):
+    """(rev, comp) sequence variants built ON DEVICE: the host-side numpy
+    construction + 4 MB tunnel upload cost ~190 ms per 1k-read chunk
+    (measured r5); on device it is one same-width gather + elementwise."""
+    i = jnp.arange(l, dtype=jnp.int32)[None, :]
+    lens2 = lens_dev[:, None]
+    fl = jnp.flip(reads_dev, axis=1)            # fl[x] = reads[l-1-x]
+    idx = jnp.clip(i + (l - lens2), 0, l - 1)   # rev[i] = fl[i + l - len]
+    rev = jnp.where(i < lens2, jnp.take_along_axis(fl, idx, axis=1), 0)
+    comp = jnp.where(i < lens2, 3 - reads_dev, 0)
+    return jnp.stack([rev, comp]).astype(jnp.int32)
+
+
 _EXACT_TABLE_CACHE: dict = {}
 
 
@@ -583,53 +625,39 @@ def mg_six_frame_pallas(
     gene_periodicity: int = 3,
     interpret: bool = False,
     cache_key=None,
+    layout=None,
 ):
     """Pallas TPU path of the 6-frame precompute: bitwise equal to
     :func:`glimmer_mg_tpu.ops.icm_score.mg_six_frame_batch` (same return
     convention) but through the lane-gather walk kernel with exact f32
     tables — the end-to-end prediction engine's device fast path.
 
-    Host-side: reads are stably sorted by model group and each group padded
-    to whole position blocks so every kernel block is model-homogeneous;
-    ``tab_map`` then drives the scalar-prefetch table selection.  Outputs
-    are un-permuted back to input order.
+    Reads are stably sorted by model group and each group padded to whole
+    position blocks so every kernel block is model-homogeneous; ``tab_map``
+    then drives the scalar-prefetch table selection.  With ``layout``
+    (a plan_group_layout result) the caller has ALREADY arranged reads in
+    that padded order (possibly as a device array — only ~0.5 KB/read ever
+    crosses the host link then) and gets outputs in the same order; without
+    it, sorting happens here and outputs are un-permuted to input order.
+    The rev/comp sequence variants are always built on device.
     """
     b, l = reads.shape
     g, p, _n = gene_mip.shape
-    rpb = _pick_reads_per_block(l)
 
-    grp = np.asarray(group)
-    order = np.argsort(grp, kind="stable")
-    sorted_groups = grp[order]
-    present = np.unique(sorted_groups)
-    rows = []  # padded row -> source read index (-1 = pad)
-    block_groups = []
-    for gi in present:
-        lo, hi = np.searchsorted(sorted_groups, [gi, gi + 1])
-        members = order[lo:hi]
-        padded_n = -(-len(members) // rpb) * rpb
-        rows.extend(members.tolist())
-        rows.extend([-1] * (padded_n - len(members)))
-        block_groups.extend([int(gi)] * (padded_n // rpb))
-    # bucket the padded batch so jit shapes stay warm across chunks
-    b2 = len(rows)
-    quantum = rpb * max(8, -(-128 // rpb))
-    b2_pad = max(rpb, -(-b2 // quantum) * quantum)
-    rows.extend([-1] * (b2_pad - b2))
-    block_groups.extend([int(present[0]) if len(present) else 0]
-                        * ((b2_pad - b2) // rpb))
-    rows_arr = np.asarray(rows, dtype=np.int64)
-    src = np.maximum(rows_arr, 0)
+    if layout is not None:
+        rows_arr, block_groups, rpb = layout
+        reads2 = jnp.asarray(reads, jnp.int32)
+        lens2 = np.asarray(lengths, dtype=np.int32)
+    else:
+        rows_arr, block_groups, rpb = plan_group_layout(group, l)
+        src = np.maximum(rows_arr, 0)
+        reads2 = jnp.asarray(np.asarray(reads, dtype=np.int32)[src])
+        lens2 = np.where(
+            rows_arr >= 0, np.asarray(lengths, dtype=np.int32)[src], 0)
 
-    reads2 = np.asarray(reads, dtype=np.int32)[src]
-    lens2 = np.where(rows_arr >= 0, np.asarray(lengths, dtype=np.int32)[src], 0)
-
-    # sequence variants: reversed read (fwd frames), complemented (rev frames)
-    i = np.arange(l)
-    ridx = lens2[:, None] - 1 - i[None, :]
-    rev = np.where(ridx >= 0, np.take_along_axis(reads2, np.maximum(ridx, 0), 1), 0)
-    comp = np.where(i[None, :] < lens2[:, None], 3 - reads2, 0)
-    seqs = np.stack([rev, comp]).astype(np.int32)  # (2, B2, L)
+    # sequence variants: reversed read (fwd frames), complemented (rev
+    # frames) — built on device
+    seqs = _variants_device(reads2, jnp.asarray(lens2), l)  # (2, B2, L)
 
     n_rb = len(block_groups)
     bg = np.asarray(block_groups, dtype=np.int32)
@@ -652,6 +680,12 @@ def mg_six_frame_pallas(
         ilm, ipx, seqs, lens2, tab_map, model_len=3, depth=2,
         interpret=interpret, reads_per_block=rpb,
     )
+
+    if layout is not None:
+        # caller works in layout order: no un-permute (the inverse-order
+        # row gather costs ~30 ms/array at this shape)
+        return (jnp.transpose(gene_out, (1, 0, 2)),
+                jnp.transpose(ind_out, (1, 0, 2)))
 
     # (6, B2, L) -> input read order (B, 6, L)
     inv = np.full(b, -1, dtype=np.int64)
