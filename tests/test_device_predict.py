@@ -307,3 +307,58 @@ def test_fuzz_overlap_dense(trained_models, monkeypatch):
         assert _coords(hg) == _coords(dg), h
         n_genes += len(hg)
     assert n_genes > 15  # dense input really generated genes (26 measured)
+
+
+def test_packed_layout_roundtrip_and_sixframe_parity():
+    """The chip upload path: pack_reads/unpack_reads round-trip bit-exact,
+    and the layout-ordered six-frame Pallas call (interpret mode) matches
+    the XLA walk on the same rows."""
+    import jax
+    import numpy as np
+
+    from glimmer_mg_tpu.models import dna, icm as icm_mod, icm_train
+    from glimmer_mg_tpu.engine import orfs as orf_mod
+    from glimmer_mg_tpu.ops import device_predict as dpk, icm_pallas, icm_score
+
+    rng = np.random.default_rng(11)
+    seqs = [rng.integers(0, 4, rng.integers(40, 120)).astype(np.int8)
+            for _ in range(13)]
+    groups = rng.integers(0, 2, 13).astype(np.int32)
+    L = 120
+    layout = icm_pallas.plan_group_layout(groups, L)
+    row_src = layout[0]
+    packed, lens2, grp2 = dpk.pack_reads(seqs, row_src, L, groups)
+    reads_dev = np.asarray(dpk.unpack_reads(packed, L))
+    for row, src in enumerate(row_src):
+        if src >= 0:
+            s = seqs[src][:L]
+            assert np.array_equal(reads_dev[row, :len(s)], s), row
+            assert reads_dev[row, len(s):].max(initial=0) == 0
+            assert lens2[row] == len(s) and grp2[row] == groups[src]
+        else:
+            assert lens2[row] == 0
+
+    # two tiny model pairs; layout-ordered pallas (interpret) vs XLA walk
+    pat = orf_mod.CodonPatterns.make()
+    icms = []
+    for k in range(2):
+        tr = ["atg" + "".join(rng.choice(list("acgt"), 120)) for _ in range(4)]
+        icms.append(icm_train.train_icm(
+            [dna.encode(s) for s in tr], model_len=12, depth=3))
+    indep = icm_mod.build_indep_wo_stops(0.5, pat.stop_codons)
+    gmip = np.stack([m.mip for m in icms])
+    gprobs = np.stack([m.probs for m in icms])
+    imip = np.stack([indep.mip] * 2)
+    iprobs = np.stack([indep.probs] * 2)
+
+    g6p, i6p = icm_pallas.mg_six_frame_pallas(
+        gmip, gprobs, imip, iprobs, reads_dev, lens2, grp2,
+        model_len=12, depth=3, interpret=True, layout=layout)
+    g6x, i6x = icm_score.mg_six_frame_batch(
+        gmip, gprobs, imip, iprobs, reads_dev, lens2, grp2,
+        model_len=12, depth=3)
+    mask = (np.arange(L)[None, :] < lens2[:, None])[:, None, :]
+    for a, b in ((g6p, g6x), (i6p, i6x)):
+        a = np.where(mask, np.asarray(a), 0.0)
+        b = np.where(mask, np.asarray(b), 0.0)
+        assert np.array_equal(a, b)  # bitwise on every in-read base
