@@ -427,7 +427,7 @@ def _device_config_row():
                                               device_precompute=device))
 
     run(True)  # compile + warm
-    res_d, t_d = _timed_runs(lambda: run(True), n=2)
+    res_d, t_d = _timed_runs(lambda: run(True), n=5)
     res_h = run(False)
     parity = (mg.format_predict_mg(res_d) == mg.format_predict_mg(res_h))
 
@@ -454,15 +454,18 @@ def _device_config_row():
     except Exception as e:  # pragma: no cover
         sharded_ok = f"error: {str(e)[:160]}"
 
+    med, mad = _med_mad(t_d)
     print(json.dumps({
         "reads": len(reads1k),
-        "reads_per_s": round(len(reads1k) / min(t_d), 1),
+        "reads_per_s": round(len(reads1k) / med, 1),
+        "median_s": round(med, 3),
+        "mad_s": round(mad, 3),
         "runs_s": [round(x, 3) for x in t_d],
         "engine": "native+device",
         "parity": parity,
         "sharded_pallas_compiled": sharded_ok,
-        "note": "per-base f32 LLR pair ~12KB/read vs ~35MB/s tunnel; "
-                "host walk ~10us/read wins on this rig (COMPONENTS.md)",
+        "note": "median of 5; per-base f32 LLR pair ~12KB/read vs ~35MB/s "
+                "tunnel; host walk ~10us/read wins on this rig",
     }), flush=True)
 
 
@@ -499,18 +502,23 @@ def _device_resident_row():
     os.environ["GLIMMER_MG_TPU_DEVICE_DP"] = "1"
     os.environ.setdefault("GLIMMER_MG_TPU_DEVICE_DP_F32", "1")
     run()  # compile + warm
-    _res, t_d = _timed_runs(run, n=2)
+    _res, t_d = _timed_runs(run, n=5)
     dev = run()
     os.environ.pop("GLIMMER_MG_TPU_DEVICE_DP", None)
     parity = sum(1 for h in host if host[h] != dev.get(h)) == 0
+    med, mad = _med_mad(t_d)
     print(json.dumps({
         "reads": len(reads1k),
-        "reads_per_s": round(len(reads1k) / min(t_d), 1),
+        "reads_per_s": round(len(reads1k) / med, 1),
+        "median_s": round(med, 3),
+        "mad_s": round(mad, 3),
+        "reads_per_s_best": round(len(reads1k) / min(t_d), 1),
         "runs_s": [round(x, 3) for x in t_d],
         "engine": "device_resident (on-chip ORF scan + event DP, f32 carry)",
         "parity": parity,
-        "note": "gene calls (~50 B/read) are the only host traffic; "
-                "scales with chips (dryrun_multichip data-shards it)",
+        "note": "median of 5; ~0.13 MB/1k reads up (2-bit packed), "
+                "~50 B/read gene calls down; scales with chips "
+                "(dryrun_multichip data-shards it)",
     }), flush=True)
 
 
@@ -554,6 +562,19 @@ def main():
         printed = False
         for line in res.stdout.splitlines():
             if line.startswith("{"):
+                # compact the kernel row so the driver's tail capture never
+                # clips it (BENCH_r04 lost this row's head to truncation)
+                try:
+                    row = json.loads(line)
+                    d = row.get("detail")
+                    if isinstance(d, dict):
+                        keep = ("walk_us", "step_ms", "compile_s", "models",
+                                "batch", "bank256", "value_mbp_models_per_s",
+                                "hbm_tables_mb")
+                        row["detail"] = {k: d[k] for k in keep if k in d}
+                        line = json.dumps(row)
+                except Exception:
+                    pass
                 print(line, flush=True)
                 printed = True
         if not printed:

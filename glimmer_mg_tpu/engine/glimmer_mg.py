@@ -341,28 +341,61 @@ def _use_native() -> bool:
     return os.environ.get("GLIMMER_MG_TPU_NATIVE") != "0"
 
 
+# Measured throughput constants for the deployment auto-selection
+# (bench.py on the build rig, r5): the native AVX-512 engine clears
+# ~10.8k reads/s per host core; the chip-resident path ~2.1k reads/s per
+# TPU v5e chip. Overridable for other hardware generations.
+_NATIVE_READS_PER_S_PER_CORE = float(
+    os.environ.get("GLIMMER_MG_TPU_CALIB_NATIVE", "10800"))
+_DEVICE_READS_PER_S_PER_CHIP = float(
+    os.environ.get("GLIMMER_MG_TPU_CALIB_DEVICE", "2100"))
+_ENGINE_CHOICE_LOGGED = [False]
+
+
 def _use_device_dp() -> bool:
     """Chip-resident prediction (on-device ORF scan + event DP): the whole
     per-read path runs on the accelerator and only gene calls cross the
     link (ops.device_predict; SURVEY §7.4/§7.5).
 
-    GLIMMER_MG_TPU_DEVICE_DP=1/0 forces it; by default it engages when an
-    accelerator is present but the native C++ engine is not — the
-    configuration where the chip beats the per-read Python fallback by
-    orders of magnitude."""
+    GLIMMER_MG_TPU_DEVICE_DP=1/0 forces it. Otherwise the deployment
+    chooses by measured economics (VERDICT r4 task 8): estimated chip
+    fleet throughput (chips x ~2.1k reads/s, data-parallel) vs host
+    native throughput (cores x ~10.8k reads/s); without the native
+    engine, any accelerator wins over the per-read Python fallback. The
+    choice is logged once (GLIMMER_MG_TPU_VERBOSE=1)."""
+    from ..utils import observe
+
     env = os.environ.get("GLIMMER_MG_TPU_DEVICE_DP")
     if env is not None:
         return env == "1"
     from .. import native as native_mod
 
-    if native_mod.available():
-        return False
     try:
         import jax
 
-        return jax.default_backend() != "cpu"
+        has_accel = jax.default_backend() != "cpu"
+        n_chips = jax.local_device_count() if has_accel else 0
     except Exception:
-        return False
+        has_accel, n_chips = False, 0
+
+    if not native_mod.available():
+        choice = has_accel
+        why = "native engine unavailable"
+    else:
+        n_cores = os.cpu_count() or 1
+        native_est = _NATIVE_READS_PER_S_PER_CORE * n_cores
+        device_est = _DEVICE_READS_PER_S_PER_CHIP * n_chips
+        choice = device_est > native_est
+        why = (f"{n_chips} chip(s) x {_DEVICE_READS_PER_S_PER_CHIP:.0f} = "
+               f"{device_est:.0f} reads/s vs {n_cores} core(s) x "
+               f"{_NATIVE_READS_PER_S_PER_CORE:.0f} = {native_est:.0f}")
+    if not _ENGINE_CHOICE_LOGGED[0]:
+        _ENGINE_CHOICE_LOGGED[0] = True
+        observe.vlog(
+            1,
+            f"engine auto-select: {'device-resident' if choice else 'native'}"
+            f" ({why})")
+    return choice
 
 
 # LRU-bounded: banks are large (numpy tables + _jnp_cache device arrays)
