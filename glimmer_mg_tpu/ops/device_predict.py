@@ -162,8 +162,15 @@ def build_bank(models_list, max_read_len: int) -> DeviceBank:
             or m.ribosome_window_size != m0.ribosome_window_size
             or m.gene_icm.model_len != m0.gene_icm.model_len
             or m.gene_icm.periodicity != m0.gene_icm.periodicity
-            or m.use_first_start_codon
+            # use_first_start_codon is a glimmer3 whole-genome knob; the
+            # per-read mg engine never reads it (Score_Orfs_Errors has no
+            # first-start branch, glimmer-mg.cc:1605), so it does not
+            # affect device eligibility.
             or m.circular
+            # in mg mode allow_truncated_orfs=False occurs ONLY with
+            # circular=True (engine/glimmer_mg.py:1243,1430), so the
+            # circular exclusion covers it; keep the guard for direct API
+            # callers constructing such Models by hand
             or not m.allow_truncated_orfs
         ):
             raise ValueError("device path needs uniform scalar models")

@@ -383,3 +383,45 @@ def test_packed_layout_roundtrip_and_sixframe_parity():
         a = np.where(mask, np.asarray(a), 0.0)
         b = np.where(mask, np.asarray(b), 0.0)
         assert np.array_equal(a, b)  # bitwise on every in-read base
+
+
+def test_first_start_codon_flag_is_eligible(monkeypatch):
+    """use_first_start_codon is a glimmer3 whole-genome knob the per-read
+    engine ignores; a Models carrying it must still run on the device path
+    with identical output (VERDICT r4 task 6)."""
+    from glimmer_mg_tpu.ops import device_predict as dpk
+
+    rng = np.random.default_rng(31)
+    pat = orf_mod.CodonPatterns.make()
+    gc = 0.6
+    p = [(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2]
+
+    def gene_like(ncod):
+        cs = []
+        while len(cs) < ncod:
+            c = "".join(rng.choice(list("acgt"), 3, p=p))
+            if c not in ("taa", "tag", "tga"):
+                cs.append(c)
+        return "atg" + "".join(cs) + str(rng.choice(["taa", "tag", "tga"]))
+
+    train = [gene_like(120) for _ in range(8)]
+    gicm = icm_train.train_icm(
+        [dna.encode(s) for s in train], model_len=12, depth=3)
+    indep = icm_mod.build_indep_wo_stops(0.5, pat.stop_codons)
+    models = Models(gene_icm=gicm, indep_model=indep, patterns=pat,
+                    min_gene_len=75, allow_truncated_orfs=True,
+                    use_first_start_codon=True)
+    jobs = []
+    for i in range(24):
+        s = ("".join(rng.choice(list("acgt"), 30)) + gene_like(60)
+             + "".join(rng.choice(list("acgt"), 30)))
+        jobs.append((dna.encode(s), models, None, False))
+
+    dev = mg._device_dp_chunk(jobs, False, False)
+    assert dev is not None  # eligible despite the flag
+    n_genes = 0
+    for r, (seq_idx, m, _q, _hq) in enumerate(jobs):
+        host = mg._predict_read_with_models(m, seq_idx)
+        assert _coords(host) == _coords(dev[r]), r
+        n_genes += len(host)
+    assert n_genes > 5
