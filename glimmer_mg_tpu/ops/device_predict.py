@@ -2409,16 +2409,23 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         # program is reused across chunks/runs with any bank of the same
         # shapes (keying on bank identity forced a retrace per generator
         # run — ~3 s of pure tracing per bench repetition)
-        key = (b, Lp, tuple(sorted(consts.items())), f64)
+        key = (b, L0, Lp, tuple(sorted(consts.items())), f64)
         fn = _JIT_CACHE.get(key)
         if fn is not None:
             _JIT_CACHE.move_to_end(key)
         else:
             batched = os.environ.get("GLIMMER_MG_TPU_DP_BATCHED", "1") == "1"
+            pad_amt = Lp - L0
 
             if batched:
 
                 def run(bj, reads, lengths, groups, gene6, ind6):
+                    # length padding INSIDE the jit: eager device ops each
+                    # pay a remote-dispatch RPC on tunneled TPUs
+                    reads = jnp.pad(reads.astype(jnp.int32),
+                                    ((0, 0), (0, pad_amt)))
+                    gene6 = jnp.pad(gene6, ((0, 0), (0, 0), (0, pad_amt)))
+                    ind6 = jnp.pad(ind6, ((0, 0), (0, 0), (0, pad_amt)))
                     ev, n_events = _frontend_one(
                         reads, lengths, groups, gene6, ind6, bj, Lp, consts)
                     ne_cap = consts.get("ne_cap", MAX_EVENTS)
@@ -2437,6 +2444,11 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
             else:
 
                 def run(bj, reads, lengths, groups, gene6, ind6):
+                    reads = jnp.pad(reads.astype(jnp.int32),
+                                    ((0, 0), (0, pad_amt)))
+                    gene6 = jnp.pad(gene6, ((0, 0), (0, 0), (0, pad_amt)))
+                    ind6 = jnp.pad(ind6, ((0, 0), (0, 0), (0, pad_amt)))
+
                     def one(seq, n, gi, g6, i6):
                         return _predict_one(seq, n, gi, g6, i6, bj, Lp,
                                             consts)
@@ -2454,12 +2466,9 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         if bj is None:
             bj = _bank_jnp(bank)
             bank._jnp_cache = bj
-        pad = Lp - L0
-        reads_p = jnp.pad(jnp.asarray(reads, jnp.int32), ((0, 0), (0, pad)))
-        g6 = jnp.pad(jnp.asarray(gene6), ((0, 0), (0, 0), (0, pad)))
-        i6 = jnp.pad(jnp.asarray(ind6), ((0, 0), (0, 0), (0, pad)))
-        out = fn(bj, reads_p, jnp.asarray(lengths, jnp.int32),
-                 jnp.asarray(groups, jnp.int32), g6, i6)
+        out = fn(bj, jnp.asarray(reads), jnp.asarray(lengths, jnp.int32),
+                 jnp.asarray(groups, jnp.int32), jnp.asarray(gene6),
+                 jnp.asarray(ind6))
         return [np.asarray(x) for x in jax.device_get(out)]
 
 

@@ -585,10 +585,12 @@ def plan_group_layout(grp, l):
             np.asarray(block_groups, dtype=np.int32), rpb)
 
 
+@functools.partial(jax.jit, static_argnames=("l",))
 def _variants_device(reads_dev, lens_dev, l):
-    """(rev, comp) sequence variants built ON DEVICE: the host-side numpy
-    construction + 4 MB tunnel upload cost ~190 ms per 1k-read chunk
-    (measured r5); on device it is one same-width gather + elementwise."""
+    """(rev, comp) sequence variants built ON DEVICE in one jit: the
+    host-side numpy construction + 4 MB tunnel upload cost ~190 ms per
+    1k-read chunk, and EAGER device ops each pay a remote-dispatch RPC
+    (~10-20 ms on this tunnel) — a single jitted program pays once."""
     i = jnp.arange(l, dtype=jnp.int32)[None, :]
     lens2 = lens_dev[:, None]
     fl = jnp.flip(reads_dev, axis=1)            # fl[x] = reads[l-1-x]
@@ -643,6 +645,13 @@ def mg_six_frame_pallas(
     """
     b, l = reads.shape
     g, p, _n = gene_mip.shape
+    # groups=8 measured 2.8x faster than 4 on v5e at (1024, 512) (r5);
+    # fall back when the lane quantum does not divide
+    try:
+        _pick_reads_per_block(l, groups=8)
+        sf_groups = 8
+    except ValueError:
+        sf_groups = 4
 
     if layout is not None:
         rows_arr, block_groups, rpb = layout
@@ -654,6 +663,8 @@ def mg_six_frame_pallas(
         reads2 = jnp.asarray(np.asarray(reads, dtype=np.int32)[src])
         lens2 = np.where(
             rows_arr >= 0, np.asarray(lengths, dtype=np.int32)[src], 0)
+    if (rpb * l) % (LANES * sf_groups) != 0:
+        sf_groups = 4
 
     # sequence variants: reversed read (fwd frames), complemented (rev
     # frames) — built on device
@@ -674,11 +685,11 @@ def mg_six_frame_pallas(
 
     gene_out = fixed_frame_scores_pallas(
         glm, gpx, seqs, lens2, tab_map, model_len=model_len, depth=depth,
-        interpret=interpret, reads_per_block=rpb,
+        interpret=interpret, reads_per_block=rpb, groups=sf_groups,
     )
     ind_out = fixed_frame_scores_pallas(
         ilm, ipx, seqs, lens2, tab_map, model_len=3, depth=2,
-        interpret=interpret, reads_per_block=rpb,
+        interpret=interpret, reads_per_block=rpb, groups=sf_groups,
     )
 
     if layout is not None:
