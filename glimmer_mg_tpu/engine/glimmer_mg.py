@@ -408,11 +408,15 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
     """Run a chunk through the chip-resident path.
 
     pending_jobs: [(seq_idx, models, quals, have_qual)] with models set.
-    Returns list[list[TracedGene]] or None when ineligible (error modes,
+    Returns list[list[TracedGene]] or None when ineligible (indel mode,
     qualities, circular, non-uniform model scalars) — callers fall back.
+    Substitution mode (allow_subs, default qualities) runs ON DEVICE
+    since r5 (the sub-extension families in ops.device_predict).
     """
-    if allow_indels or allow_subs:
+    if allow_indels:
         return None
+    if allow_subs and os.environ.get("GLIMMER_MG_TPU_DP_BATCHED", "1") != "1":
+        return None  # the legacy per-lane DP has no error machinery
     import jax
 
     from ..ops import device_predict as dpk
@@ -483,7 +487,8 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
             cache_key=(bank_key, "devdp"), layout=layout,
         )
         outs = dpk.predict_batch_device(
-            bank, reads_dev, lens, grp, gene6, ind6, cache_key=bank_key
+            bank, reads_dev, lens, grp, gene6, ind6, cache_key=bank_key,
+            subs=allow_subs,
         )
         genes_rows, overflow_rows = dpk.finish_genes(outs, len(row_src))
         genes = [None] * len(pending_jobs)
@@ -507,7 +512,8 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
             gene_periodicity=bank.periodicity,
         )
         outs = dpk.predict_batch_device(
-            bank, reads, lens, grp, gene6, ind6, cache_key=bank_key
+            bank, reads, lens, grp, gene6, ind6, cache_key=bank_key,
+            subs=allow_subs,
         )
         genes, overflow = dpk.finish_genes(outs, len(pending_jobs))
 

@@ -531,7 +531,8 @@ def _rns(t, n, x):
     return jnp.where(inside, _gather_guard(t["rev_next"], x, 0), x)
 
 
-def _fwd_orf_slots(t, n, Lp, min_gene_len):
+def _fwd_orf_slots(t, n, Lp, min_gene_len, indel_orfs=False,
+                   min_indel_orf_len=15):
     """Forward-ORF candidate slots: Lp real (by stop last-base subscript)
     + 3 virtual truncated stops at subscripts n..n+2.
 
@@ -581,7 +582,12 @@ def _fwd_orf_slots(t, n, Lp, min_gene_len):
         gl = jnp.where(s_star < iS, iS - s_star, 0)
         ol = jnp.where(has_prev, iS - ip - 3, (iS - 2) - ((iS - 2) % 3))
         gl = jnp.where((~has_prev) & (gl < min_gene_len), ol, gl)
-        return slot_exists & (gl >= min_gene_len)
+        keep = gl >= min_gene_len
+        if indel_orfs:
+            # error modes keep short-gene ORFs whose frame length clears
+            # MIN_INDEL_ORF_LEN (engine find_orfs keep_len rule)
+            keep = keep | (ol >= min_indel_orf_len)
+        return slot_exists & keep
 
     emit_r = gene_emit(iS_r, ip_r, has_prev_r, s_star_r, stop_m)
     emit_v = gene_emit(iS_v, ip_v, has_prev_v, s_star_v, True)
@@ -615,7 +621,8 @@ def _fwd_orf_slots(t, n, Lp, min_gene_len):
     }
 
 
-def _rev_orf_slots(t, n, Lp, min_gene_len):
+def _rev_orf_slots(t, n, Lp, min_gene_len, indel_orfs=False,
+                   min_indel_orf_len=15):
     """Reverse-ORF candidate slots: Lp real (closing rev-stop subscript)
     + 3 end-of-sequence slots (frame classes 0..2).
 
@@ -660,12 +667,18 @@ def _rev_orf_slots(t, n, Lp, min_gene_len):
         return gl, ls_ok
 
     gl_r, _ok = gene_emit(ls_r, ip_r, has_prev_r, orf_stop_r, None, None)
-    emit_r = slot_exists_r & (gl_r >= min_gene_len)
+    keep_r = gl_r >= min_gene_len
     gl_v, _okv = gene_emit(ls_v, ip_v, has_prev_v, orf_stop_v, None, None)
     end_orf_len = n2 - orf_stop_v - 2
     end_orf_len = end_orf_len - end_orf_len % 3
     gl_v = jnp.where(gl_v < min_gene_len, end_orf_len, gl_v)
-    emit_v = gl_v >= min_gene_len
+    keep_v = gl_v >= min_gene_len
+    if indel_orfs:
+        ol_r = jnp.broadcast_to(pos, (B, Lp)) - orf_stop_r - 4
+        keep_r = keep_r | (ol_r >= min_indel_orf_len)
+        keep_v = keep_v | (end_orf_len >= min_indel_orf_len)
+    emit_r = slot_exists_r & keep_r
+    emit_v = keep_v
 
     # hi = rev_next[end_point - 1] + 1: the has-prev branch reads the
     # register at prev_stop+1 (forward-fill of rev_next[p+1] placed at
@@ -944,7 +957,7 @@ def _add_pwm(score, pwm, sep):
 E_FWD_START, E_FWD_STOP, E_REV_START, E_REV_STOP = 1, 2, 3, 4
 
 
-def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
+def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None):
     """Forward-strand start-event candidates.
 
     Two families: one per read position q (the start codon's first base;
@@ -952,7 +965,10 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     one 'truncated first start' per forward-ORF slot (the unconditional
     top-of-ORF start of Score_Orf_Starts when the ORF is 5'-truncated,
     glimmer-mg.cc:1769-1800). Returns per-candidate event fields plus the
-    per-ORF aggregates (best raw score, any-event) for the gates.
+    per-ORF aggregates (best raw score, any-event) for the gates, plus the
+    substitution-extension families when consts["subs"] (the
+    Score_Orf_Starts error recursion lands exactly on the PREVIOUS slot's
+    segment, glimmer-mg.cc:1769; see COMPONENTS.md r5 design note).
     """
     import jax.numpy as jnp
 
@@ -1032,12 +1048,13 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     a_virt = _gather2(
         Sf, (n2 + jnp.arange(3)[None, :]) % 3, av_idx, 0.0
     )                                            # (B,3)
-    a = prop(jnp.concatenate([A_pos, a_virt], axis=1))
+    A_ext = jnp.concatenate([A_pos, a_virt], axis=1)
+    a = prop(A_ext)
     b = _shift_left(R, 2, 0.0)                   # Sf[c, q+2]
-    raw = a - b
+    raw_nb = a - b                               # pre-boost (subs reuse it)
     sj = j + 2
     boost = sj > isl
-    raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
+    raw = jnp.where(boost, jnp.maximum(0.0, raw_nb), raw_nb)
 
     pos = jnp.broadcast_to(q + 3, (B, Lp))  # 1-based event position (kk + 2)
     pwm, sep = (pw["bf"], pw["sf"]) if pw is not None else (
@@ -1073,9 +1090,9 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
     tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
     q_t = s_hi - 3 - s_top
     cS = iS6 % 3
-    raw_t = raw_of(s_top, s_hi, cS)
+    raw_t_nb = raw_of(s_top, s_hi, cS)           # pre-boost (subs reuse it)
     boost_t = (s_top + 2) > isl
-    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
+    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t_nb), raw_t_nb)
     pos_t = q_t + 3
     pwm_t, sep_t = _pwm_fwd(pw, pos_t - 2)
     score_t = raw_t + prior
@@ -1143,10 +1160,164 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts):
         "slot": slot6c,
         "trunc": jnp.ones((B, 6), dtype=bool), "sub": (cS + 1) % 3,
     }
-    return std, tr, ex_raw, any_ev
+
+    if not consts.get("subs"):
+        return std, tr, ex_raw, any_ev, None
+
+    # ---- substitution extension (Score_Orf_Starts error branch,
+    # glimmer-mg.cc:1769): the recursion's segment IS the previous slot's
+    # run, so sub-extended candidates of ORF s2 reuse this chain's std
+    # scan with per-position suffix terms read from the NEXT slot ----
+    Z64 = jnp.zeros((), jnp.float64)
+    lowest_j = min(3, min_gene_len - 3)
+    # next-stop / next-slot reads on the position domain (at x = s1)
+    posI = jnp.broadcast_to(q, (B, Lp))
+    rfp, okp = _cls3_revfill(jnp.where(stop_m, posI, 0), stop_m)
+    ns2 = _shift_left(jnp.where(okp, rfp, 0), 3, 0)
+    has_next = _shift_left(okp, 3, False)
+    vclsx = (q - n2) % 3                      # virtual slot j of x's class
+    ns2_eff = jnp.where(has_next, ns2, n2 + vclsx)
+    mm2 = ns2_eff - q - 3                     # suffix_j at x = s1
+
+    def nxt(F):
+        Zf = jnp.zeros((), F.dtype)
+        G, ok = _cls3_revfill(jnp.where(stop_m, F[:, :Lp], Zf), stop_m)
+        Gv = _shift_left(jnp.where(ok, G, Zf), 3, Zf)
+        okv = _shift_left(ok, 3, False)
+        return jnp.where(okv, Gv, _sel3(F[:, Lp:], vclsx))
+
+    emit2 = nxt(fw["emit"])
+    a2 = nxt(A_ext)                           # Sf[c, hi(s2)-1] at x = s1
+    t32 = ~has_next                           # s2 virtual <=> t3(s2)
+    # Pass_Stop_Penalty with default qualities: 4 constants selected by
+    # the stop codon's mid/last base being 'a' (glimmer-mg.cc:961)
+    import math as _math
+
+    _dp = 0.999
+    _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
+
+    def _pen(mid_a, last_a):
+        pp = _dp * (_fa if mid_a else _dp) * (_fa if last_a else _dp)
+        return _math.log(1.0 - pp) - _math.log(pp)
+
+    mid_a = _shift_right(seq == 0, 1, False)
+    last_a = seq == 0
+    pen_pos = jnp.where(
+        mid_a,
+        jnp.where(last_a, _pen(True, True), _pen(True, False)),
+        jnp.where(last_a, _pen(False, True), _pen(False, False)),
+    )
+    suf_pos = pen_pos + (a2 - R)              # penalty + score[-1] of seg(s2)
+
+    def prop0(Fpos):
+        Zf = jnp.zeros((), Fpos.dtype)
+        rf, ok = _cls3_revfill(_shift_left(Fpos, 5, Zf),
+                               _shift_left(stop_m, 5, False))
+        return jnp.where(ok, rf, Zf)
+
+    sj_q = prop0(mm2)
+    suf_q = prop0(suf_pos)
+    em2_q = prop0(emit2)
+    t32_q = prop0(t32)
+    min_j_sub = jnp.maximum(lowest_j, min_gene_len - 3 - sj_q)
+    jf = j + 2 + sj_q
+    sub_valid = (is_real & em2_q & (q >= lo) & (j >= min_j_sub)
+                 & (j <= top_j) & hit2 & (1 + jf >= min_gene_len))
+    raw_tot = raw_nb + suf_q
+    raw_tot = jnp.where(jf > isl, jnp.maximum(0.0, raw_tot), raw_tot)
+    score_sub = raw_tot + prior
+    score_sub = _add_pwm(score_sub, pwm, sep)
+    score_sub = jnp.where(which >= 0, score_sub + start_sel, score_sub)
+    score_sub = score_sub + _gather2(
+        len_tab, jnp.where(t32_q, 1, 0),
+        jnp.clip((j + sj_q) // 3 + 1, 0, LN - 1), 0.0)
+    sub_pass = sub_valid & (score_sub > ev_thresh)
+
+    # truncated sub entries: segment-2 truncation = first run per class;
+    # 3 tiny columns at s1 = first_stop, attributed to its next slot s2
+    g3t = lambda a: jnp.take_along_axis(
+        a, jnp.clip(first_stop, 0, Lp - 1), axis=1)
+    sjs6 = g3t(mm2)
+    sufs6 = g3t(suf_pos)
+    em26 = g3t(emit2)
+    t326 = g3t(t32)
+    s2slot6 = g3t(jnp.where(has_next, ns2, Lp + vclsx))
+    q_t3 = q_t[:, :3]
+    minj6 = jnp.maximum(lowest_j, min_gene_len - 3 - sjs6)
+    jf6 = s_top[:, :3] + 2 + sjs6
+    subtr_valid = (has_first & em26 & s_trunc[:, :3] & (s_mm[:, :3] >= 1)
+                   & (s_top[:, :3] >= minj6) & (1 + jf6 >= min_gene_len))
+    raw6 = raw_t_nb[:, :3] + sufs6
+    raw6 = jnp.where(jf6 > isl, jnp.maximum(0.0, raw6), raw6)
+    score6 = raw6 + prior
+    score6 = _add_pwm(score6, pwm_t[:, :3], sep_t[:, :3])
+    score6 = score6 + _gather2(
+        len_tab, jnp.where(t326, 2, 1),
+        jnp.clip((s_top[:, :3] + sjs6) // 3 + 1, 0, LN - 1), 0.0)
+    subtr_pass = subtr_valid & (score6 > ev_thresh)
+
+    sub_at = _gather_guard(sub_pass, q_t3, False)
+    sub_sc = _gather_guard(score_sub, q_t3, -np.inf)
+    subtr_final = subtr_pass & ~(sub_at & (sub_sc > score6))
+    for k in range(3):
+        sub_pass = sub_pass & ~(
+            (q == q_t3[:, k:k + 1]) & subtr_pass[:, k:k + 1]
+            & (sub_sc[:, k:k + 1] <= score6[:, k:k + 1]))
+    sub_final = sub_pass
+
+    # per-slot aggregates of the sub set: count over run(s1), read at s2
+    # via its previous stop
+    def prev_slot_read(Fpos):
+        Zf = jnp.zeros((), Fpos.dtype)
+        FFv, FFok = _cls3_fwdfill(jnp.where(stop_m, Fpos, Zf), stop_m)
+        vals = jnp.where(FFok, FFv, Zf)
+        real_part = _shift_right(vals, 3, Zf)
+        virt = _sel3(vals[:, Lp - 3:], xn3 % 3)
+        return jnp.concatenate([real_part, virt], axis=1)
+
+    ex_sub = prev_slot_read(
+        seg_exists(sub_valid & (raw_tot > thresh))[:, :Lp].astype(jnp.int32)
+    ) > 0
+    any_sub = prev_slot_read(
+        seg_exists(sub_final)[:, :Lp].astype(jnp.int32)) > 0
+    subtr_raw6 = subtr_valid & (raw6 > thresh)
+    for k in range(3):
+        hit = sNS == s2slot6[:, k:k + 1]
+        hitk = hit & has_first[:, k:k + 1]
+        ex_sub = ex_sub | (hitk & subtr_raw6[:, k:k + 1])
+        any_sub = any_sub | (hitk & subtr_final[:, k:k + 1])
+
+    err_pos_stop = prev_slot_read(posI) - 1   # s1 - 1 per slot s2
+
+    subx = {
+        "fam_std": {
+            "valid": sub_final, "pos": pos, "score": score_sub,
+            "trunc": jnp.zeros((B, Lp), dtype=bool),
+            "sub": std["sub"],
+            "err_pos": jnp.broadcast_to(iS - 1, (B, Lp)),
+        },
+        "fam_tr": {
+            "valid": subtr_final, "pos": q_t3 + 3, "score": score6,
+            "trunc": jnp.ones((B, 3), dtype=bool),
+            "sub": (cS[:, :3] + 1) % 3,
+            "err_pos": jnp.where(has_first, first_stop - 1, -1),
+        },
+        "any_sub": any_sub,
+        "ex_sub": ex_sub,
+        "to_member": lambda F: prop(jnp.concatenate(
+            [nxt(F), jnp.zeros((B, 3), F.dtype)], axis=1)),
+        "s2slot6": jnp.clip(s2slot6, 0, n_slots - 1),
+        "s2slot6_valid": has_first,
+        "err_pos_stop": err_pos_stop,
+    }
+    ex_all = ex_raw | ex_sub
+    any_all = any_ev | any_sub
+    # keep the clean-set indicator for the per-error-set stop events/ids
+    subx["any_clean"] = any_ev
+    return std, tr, ex_all, any_all, subx
 
 
-def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
+def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts, seq=None):
     """Reverse-strand start-event candidates (mirror of the forward case;
     candidate index u = the genome codon's LAST base of a reverse start)."""
     import jax.numpy as jnp
@@ -1225,9 +1396,9 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
         [Sr[:, 0, 0], Sr[:, 1, 1], jnp.zeros((B,), Sr.dtype)], axis=1
     )
     b = jnp.where(FF2ok, FF2v, _sel3(b_np, c))
-    raw = a - b
+    raw_nb = a - b                               # pre-boost (subs reuse it)
     boost = (j + 2) > isl
-    raw = jnp.where(boost, jnp.maximum(0.0, raw), raw)
+    raw = jnp.where(boost, jnp.maximum(0.0, raw_nb), raw_nb)
 
     pos = jnp.broadcast_to(u + 1, (B, Lp))  # REV_START event position = kk
     pwm, sep = (pw["br"], pw["sr"]) if pw is not None else (
@@ -1261,9 +1432,9 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
     tr_valid = s_emit & s_trunc & (s_mm >= 1) & (s_top >= min_j)
     u_t = s_lo + s_top + 1
     cS = (s_lo + 1) % 3  # the ORF's stop-subscript class (lo == cu+2 mod 3)
-    raw_t = raw_of(s_top, s_lo, cS)
+    raw_t_nb = raw_of(s_top, s_lo, cS)           # pre-boost (subs reuse it)
     boost_t = (s_top + 2) > isl
-    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t), raw_t)
+    raw_t = jnp.where(boost_t, jnp.maximum(0.0, raw_t_nb), raw_t_nb)
     pos_t = u_t + 1
     pwm_t, sep_t = _pwm_rev(pw, pos_t)
     score_t = raw_t + prior
@@ -1321,7 +1492,144 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
         "trunc": jnp.ones((B, 6), dtype=bool),
         "sub": 3 + (cslot6 + 1) % 3,
     }
-    return std, tr, ex_raw, any_ev
+
+    if not consts.get("subs"):
+        return std, tr, ex_raw, any_ev, None
+
+    # ---- substitution extension, reverse strand: ORF s2 extends RIGHT
+    # past its closing stop s into the NEXT slot's run; every member value
+    # of s2 is a class forward-fill read at the member's previous stop ----
+    lowest_j = min(3, min_gene_len - 3)
+
+    def prevread(Fpos):
+        Zf = jnp.zeros((), Fpos.dtype)
+        FFx, FFxok = _cls3_fwdfill(jnp.where(stop_m, Fpos, Zf), stop_m)
+        return jnp.where(FFxok, FFx, Zf)
+
+    emit2_u = prevread(rv["emit"][:, :Lp].astype(jnp.int32)) > 0
+    sj_u = prevread(rv["mm"][:, :Lp])
+    t32_u = prevread(rv["t3"][:, :Lp].astype(jnp.int32)) > 0
+    b_slot_pos = _shift_right(b, 3, 0.0)       # b(s2) at position s
+    total_pos = a - b_slot_pos                 # score[-1] of seg(s2) at s
+    import math as _math
+
+    _dp = 0.999
+    _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
+
+    def _pen(mid_t, last_t):
+        pp = _dp * (_fa if mid_t else _dp) * (_fa if last_t else _dp)
+        return _math.log(1.0 - pp) - _math.log(pp)
+
+    mid_t = _shift_right(seq == 3, 1, False)
+    last_t = _shift_right(seq == 3, 2, False)
+    pen_pos = jnp.where(
+        mid_t,
+        jnp.where(last_t, _pen(True, True), _pen(True, False)),
+        jnp.where(last_t, _pen(False, True), _pen(False, False)),
+    )
+    suf_pos = pen_pos + total_pos
+    suf_u = prevread(suf_pos)
+
+    min_j_sub = jnp.maximum(lowest_j, min_gene_len - 3 - sj_u)
+    jf = j + 2 + sj_u
+    sub_valid = (has_prev & emit2_u & t["is_rev_start"] & (j >= min_j_sub)
+                 & (j <= top_j) & (u <= hi - 2) & (1 + jf >= min_gene_len))
+    raw_tot = raw_nb + suf_u
+    raw_tot = jnp.where(jf > isl, jnp.maximum(0.0, raw_tot), raw_tot)
+    score_sub = raw_tot + prior
+    score_sub = _add_pwm(score_sub, pwm, sep)
+    score_sub = jnp.where(which >= 0, score_sub + start_sel, score_sub)
+    score_sub = score_sub + _gather2(
+        len_tab, jnp.where(t32_u, 1, 0),
+        jnp.clip((j + sj_u) // 3 + 1, 0, LN - 1), 0.0)
+    sub_pass = sub_valid & (score_sub > ev_thresh)
+
+    # truncated sub entries: segment-2 = a rev-truncated run = exactly the
+    # 6 tr columns (last-stop + end slots as s3); s2 is each one's
+    # PREVIOUS slot
+    pp3 = _gather_guard(
+        t["pstop_r"], jnp.clip(last_stop, 0, Lp - 1) - 3, -jnp.int32(BIG))
+    pp3ok = has_last & (pp3 > -jnp.int32(BIG) // 2)
+    s2slot6 = jnp.concatenate(
+        [jnp.where(pp3ok, pp3, 0), jnp.where(has_last, last_stop, 0)],
+        axis=1)                                 # (B, 6)
+    s2ok6 = jnp.concatenate([pp3ok, has_last], axis=1)
+    g6s = lambda arr: jnp.take_along_axis(arr, s2slot6, axis=1)
+    emit26 = g6s(rv["emit"]) & s2ok6
+    sjs6 = g6s(rv["mm"])
+    t326 = g6s(rv["t3"])
+    suf6 = _gather_guard(suf_pos, s2slot6, 0.0)
+    minj6 = jnp.maximum(lowest_j, min_gene_len - 3 - sjs6)
+    jf6 = s_top + 2 + sjs6
+    subtr_valid = (s2ok6 & emit26 & s_trunc & (s_mm >= 1)
+                   & (s_top >= minj6) & (1 + jf6 >= min_gene_len))
+    raw6 = raw_t_nb + suf6
+    raw6 = jnp.where(jf6 > isl, jnp.maximum(0.0, raw6), raw6)
+    score6 = raw6 + prior
+    score6 = _add_pwm(score6, pwm_t, sep_t)
+    score6 = score6 + _gather2(
+        len_tab, jnp.where(t326, 2, 1),
+        jnp.clip((s_top + sjs6) // 3 + 1, 0, LN - 1), 0.0)
+    subtr_pass = subtr_valid & (score6 > ev_thresh)
+
+    sub_at = _gather_guard(sub_pass, u_t, False)
+    sub_sc = _gather_guard(score_sub, u_t, -np.inf)
+    subtr_final = subtr_pass & ~(sub_at & (sub_sc > score6))
+    for k in range(6):
+        sub_pass = sub_pass & ~(
+            (u == u_t[:, k:k + 1]) & subtr_pass[:, k:k + 1]
+            & (sub_sc[:, k:k + 1] <= score6[:, k:k + 1]))
+    sub_final = sub_pass
+
+    # per-slot sub aggregates: count over run(s3), read at slot s2 via the
+    # NEXT-slot relation (revfill + shift), virtual s3 via the class cols
+    def nxt_r(F):
+        Zf = jnp.zeros((), F.dtype)
+        G, ok = _cls3_revfill(jnp.where(stop_m, F[:, :Lp], Zf), stop_m)
+        Gv = _shift_left(jnp.where(ok, G, Zf), 3, Zf)
+        okv = _shift_left(ok, 3, False)
+        return jnp.where(okv, Gv, _sel3(F[:, Lp:], jnp.broadcast_to(
+            c, (B, Lp))))
+
+    def slotify(pos_arr):
+        return jnp.concatenate(
+            [pos_arr, jnp.zeros((B, 3), pos_arr.dtype)], axis=1)
+
+    ex_sub = slotify(nxt_r(seg_exists(
+        sub_valid & (raw_tot > thresh)).astype(jnp.int32)) > 0)
+    any_sub = slotify(nxt_r(seg_exists(sub_final).astype(jnp.int32)) > 0)
+    subtr_raw6 = subtr_valid & (raw6 > thresh)
+    for k in range(6):
+        hit = (sNS == s2slot6[:, k:k + 1]) & s2ok6[:, k:k + 1]
+        ex_sub = ex_sub | (hit & subtr_raw6[:, k:k + 1])
+        any_sub = any_sub | (hit & subtr_final[:, k:k + 1])
+
+    err_pos_stop = sNS + 1                      # rev sub error at s + 1
+
+    subx = {
+        "fam_std": {
+            "valid": sub_final, "pos": pos, "score": score_sub,
+            "trunc": jnp.zeros((B, Lp), dtype=bool),
+            "sub": std["sub"],
+            "err_pos": ip_m + 1,
+        },
+        "fam_tr": {
+            "valid": subtr_final, "pos": pos_t, "score": score6,
+            "trunc": jnp.ones((B, 6), dtype=bool),
+            "sub": tr["sub"],
+            "err_pos": jnp.where(s2ok6, s2slot6 + 1, -1),
+        },
+        "any_sub": any_sub,
+        "ex_sub": ex_sub,
+        "to_member": lambda F: prevread(F[:, :Lp]),
+        "s2slot6": jnp.clip(s2slot6, 0, n_slots - 1),
+        "s2slot6_valid": s2ok6,
+        "err_pos_stop": jnp.broadcast_to(err_pos_stop, (B, n_slots)),
+        "any_clean": any_ev,
+    }
+    ex_all = ex_raw | ex_sub
+    any_all = any_ev | any_sub
+    return std, tr, ex_all, any_all, subx
 
 
 # ---------------------------------------------------------------------------
@@ -1329,20 +1637,38 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts):
 # ---------------------------------------------------------------------------
 
 
-def _assign_ids(fw, rv, evprod_f, evprod_r, Lp):
-    """Event-set ids: rank of each event-producing ORF in the reference's
-    ORF processing order (ids appear in the .predict orfNNNNN column)."""
+def _assign_ids(fw, rv, evprod_f, evprod_r, Lp, sub_f=None, sub_r=None):
+    """Event-set ids: rank of each (ORF, error-set) in the reference's
+    processing order (ids appear in the .predict orfNNNNN column).
+
+    ``add_events_*`` assigns one id per error set present, in order of
+    each set's first-appearing event position: on the forward strand the
+    sub-extended set lives LEFT of the clean segment (discovered first),
+    on the reverse strand RIGHT of it (discovered last) — hence the
+    offset order below (engine/events.py:131-139)."""
     import jax.numpy as jnp
 
     B = evprod_f.shape[0]
-    nk = 2 * Lp + 16
+    nk = 4 * Lp + 32
     rows = jnp.arange(B)[:, None]
+    kf = fw["key"] * 2
+    kr = rv["key"] * 2
     keyarr = jnp.zeros((B, nk), dtype=jnp.int32)
-    keyarr = keyarr.at[rows, fw["key"]].add(evprod_f.astype(jnp.int32))
-    keyarr = keyarr.at[rows, rv["key"]].add(evprod_r.astype(jnp.int32))
+    if sub_f is None:
+        keyarr = keyarr.at[rows, kf].add(evprod_f.astype(jnp.int32))
+        keyarr = keyarr.at[rows, kr].add(evprod_r.astype(jnp.int32))
+        ranks = jnp.cumsum(keyarr, axis=1)
+        return (jnp.take_along_axis(ranks, kf, axis=1),
+                jnp.take_along_axis(ranks, kr, axis=1), None, None)
+    keyarr = keyarr.at[rows, kf].add(sub_f.astype(jnp.int32))
+    keyarr = keyarr.at[rows, kf + 1].add(evprod_f.astype(jnp.int32))
+    keyarr = keyarr.at[rows, kr].add(evprod_r.astype(jnp.int32))
+    keyarr = keyarr.at[rows, kr + 1].add(sub_r.astype(jnp.int32))
     ranks = jnp.cumsum(keyarr, axis=1)
-    return (jnp.take_along_axis(ranks, fw["key"], axis=1),
-            jnp.take_along_axis(ranks, rv["key"], axis=1))
+    return (jnp.take_along_axis(ranks, kf + 1, axis=1),
+            jnp.take_along_axis(ranks, kr, axis=1),
+            jnp.take_along_axis(ranks, kf, axis=1),
+            jnp.take_along_axis(ranks, kr + 1, axis=1))
 
 
 def _assemble_events(fam, Lp):
@@ -1361,11 +1687,24 @@ def _assemble_events(fam, Lp):
 
     valid = cat("valid")
     pos = cat("pos").astype(jnp.int32)
-    # rank (family-enumeration order) == concatenation order, so a STABLE
-    # sort on pos alone yields pos-then-rank order for any read length —
-    # no packed key, no overflow for Lp beyond ~1.4 kb (r4 advisor high).
-    sort_key = jnp.where(valid, pos, jnp.int32(2**30))
-    order = jnp.argsort(sort_key, axis=-1, stable=True)[..., :MAX_EVENTS]
+    if "tiekey" in fam[0]:
+        # equal-position order = the reference's event INSERTION order
+        # (ORF processing rank + within-ORF phase; carried per family as
+        # `tiekey`): two stable sorts — secondary key first, then pos
+        tk = cat("tiekey").astype(jnp.int32)
+        p1 = jnp.argsort(jnp.where(valid, tk, jnp.int32(2**30)),
+                         axis=-1, stable=True)
+        pos_p = jnp.take_along_axis(pos, p1, axis=-1)
+        valid_p = jnp.take_along_axis(valid, p1, axis=-1)
+        p2 = jnp.argsort(jnp.where(valid_p, pos_p, jnp.int32(2**30)),
+                         axis=-1, stable=True)
+        order = jnp.take_along_axis(p1, p2, axis=-1)[..., :MAX_EVENTS]
+    else:
+        # rank (family-enumeration order) == concatenation order, so a
+        # STABLE sort on pos alone yields pos-then-rank order for any read
+        # length — no packed key, no overflow past ~1.4 kb (r4 advisor).
+        sort_key = jnp.where(valid, pos, jnp.int32(2**30))
+        order = jnp.argsort(sort_key, axis=-1, stable=True)[..., :MAX_EVENTS]
     g = lambda a: jnp.take_along_axis(a, order, axis=-1)
 
     ev = {
@@ -1376,6 +1715,9 @@ def _assemble_events(fam, Lp):
         "score": g(cat("score")),
         "trunc": g(cat("trunc")),
     }
+    if "err_pos" in fam[0]:
+        ev["err_pos"] = g(cat("err_pos").astype(jnp.int32))
+        ev["err_typ"] = g(cat("err_typ").astype(jnp.int32))
     n_events = jnp.sum(valid.astype(jnp.int32), axis=-1)
     return ev, n_events
 
@@ -1842,6 +2184,8 @@ def _event_dp_batched(ev, adj, consts, ne):
     B, E = ev["pos"].shape
     W = min(WINDOW_ROWS, E)
     pos, typ, sub, eid = ev["pos"], ev["typ"], ev["sub"], ev["id"]
+    has_err = "err_pos" in ev
+    errp = ev.get("err_pos")
     max_olap = consts["max_olap"]
     je2 = jnp.arange(E, dtype=jnp.int32)[None, :]
     jwr = jnp.arange(W, dtype=jnp.int32)
@@ -2047,6 +2391,14 @@ def _event_dp_batched(ev, adj, consts, ne):
         opener_w = (typ_w == E_FWD_START) | (typ_w == E_REV_STOP)
         cand_w = (do[:, None] & window_w & ~disq_w & opener_w
                   & (needed_w < score_e[:, None]))
+        if has_err:
+            # the reference suppresses re-links whose error positions
+            # overlap the other event's span (glimmer_base.cc:1726-1896)
+            errp_e = errp[:, e][:, None]
+            errp_w = dsl(errp, wlo)
+            ov = (((errp_e >= 0) & (pos_w - 2 <= errp_e))
+                  | ((errp_w >= 0) & (errp_w <= pos_e_v[:, None])))
+            cand_w = cand_w & ~ov
 
         succ_fs_w = typ_w == E_FWD_START
         oo_w = _adj_or_b(adj, bptyp_w, succ_fs_w)
@@ -2122,9 +2474,15 @@ def _traceback_batched(ev, score, bp, best, ne):
         fe = jnp.where(take, best[:, i], fe)
         fs = jnp.where(take, s6[:, i], fs)
 
+    has_err = "err_pos" in ev
+    epos = ev.get("err_pos")
+    etyp = ev.get("err_typ")
+
     def body(_k, st):
         (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
-         g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
+         rev_epos, rev_etyp,
+         g_id, g_stop, g_len, g_sign, g_trunc, g_score, g_epos, g_etyp,
+         cnt) = st
         active = p >= 0
         pc = jnp.clip(p, 0, E - 1)
         ohp = je2 == pc[:, None]
@@ -2140,6 +2498,9 @@ def _traceback_batched(ev, score, bp, best, ne):
         eid_p = get(eid, eid.dtype)
         pos_p = get(pos, pos.dtype)
         trunc_p = get(trunc.astype(jnp.int32), jnp.int32).astype(bool)
+        if has_err:
+            epos_p = get(epos, jnp.int32)
+            etyp_p = get(etyp, jnp.int32)
         tp = jnp.where(active, typ_p, 0)
 
         emit_f = tp == E_FWD_START
@@ -2166,6 +2527,13 @@ def _traceback_batched(ev, score, bp, best, ne):
         g_sign = jnp.where(ohs, rec_sign[:, None], g_sign)
         g_trunc = jnp.where(ohs, rec_trunc[:, None], g_trunc)
         g_score = jnp.where(ohs, rec_score[:, None], g_score)
+        if has_err:
+            # fwd genes carry the FWD_START event's errors; rev genes the
+            # ones latched at REV_START (trace_back, glimmer3.cc:1631)
+            rec_ep = jnp.where(emit_f, epos_p, rev_epos)
+            rec_et = jnp.where(emit_f, etyp_p, rev_etyp)
+            g_epos = jnp.where(ohs, rec_ep[:, None], g_epos)
+            g_etyp = jnp.where(ohs, rec_et[:, None], g_etyp)
         cnt = cnt + emit.astype(jnp.int32)
 
         cur_stop = jnp.where(tp == E_FWD_STOP, pos_p - 2,
@@ -2173,21 +2541,31 @@ def _traceback_batched(ev, score, bp, best, ne):
         rev_start_pos = jnp.where(tp == E_REV_START, pos_p, rev_start_pos)
         prev_score = jnp.where(tp == E_REV_START, score_p, prev_score)
         rev_trunc = jnp.where(tp == E_REV_START, trunc_p, rev_trunc)
+        if has_err:
+            rev_epos = jnp.where(tp == E_REV_START, epos_p, rev_epos)
+            rev_etyp = jnp.where(tp == E_REV_START, etyp_p, rev_etyp)
 
         p = jnp.where(active, bpp, p)
         return (p, cur_stop, rev_start_pos, prev_score, rev_trunc,
-                g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt)
+                rev_epos, rev_etyp,
+                g_id, g_stop, g_len, g_sign, g_trunc, g_score, g_epos,
+                g_etyp, cnt)
 
     zi = jnp.zeros((B,), jnp.int32)
     zg = jnp.zeros((B, MAX_GENES), jnp.int32)
     st = (fe, zi, zi, jnp.zeros((B,), jnp.float64), jnp.zeros((B,), bool),
+          jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
           zg, zg, zg, zg, jnp.zeros((B, MAX_GENES), bool),
-          jnp.zeros((B, MAX_GENES), jnp.float64), zi)
+          jnp.zeros((B, MAX_GENES), jnp.float64),
+          jnp.full((B, MAX_GENES), -1, jnp.int32),
+          jnp.full((B, MAX_GENES), -1, jnp.int32), zi)
     hi = jnp.max(jnp.minimum(ne, E)) if ne is not None else E
     st = jax.lax.fori_loop(0, hi, body, st)
-    (_p, _cs, _rs, _ps, _rt,
-     g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt) = st
-    return g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt
+    (_p, _cs, _rs, _ps, _rt, _re1, _re2,
+     g_id, g_stop, g_len, g_sign, g_trunc, g_score, g_epos, g_etyp,
+     cnt) = st
+    return (g_id, g_stop, g_len, g_sign, g_trunc, g_score, g_epos, g_etyp,
+            cnt)
 
 
 # ---------------------------------------------------------------------------
@@ -2203,25 +2581,36 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
 
     B = seq.shape[0]
     t = _read_tables(seq, n, gi, bank)
-    fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"])
-    rv = _rev_orf_slots(t, n, Lp, consts["min_gene_len"])
+    fw = _fwd_orf_slots(t, n, Lp, consts["min_gene_len"],
+                        indel_orfs=bool(consts.get("subs")))
+    rv = _rev_orf_slots(t, n, Lp, consts["min_gene_len"],
+                        indel_orfs=bool(consts.get("subs")))
     Sf, Sr = _frame_prefix_sums(gene6, ind6, n, Lp)
     pw = _pwm_window_tables(
         _pwm_arrays(seq, n, gi, bank, consts["W"]),
         n, Lp, consts["ws"], consts["W"],
     ) if consts["W"] else None
 
-    std_f, tr_f, braw_f, anyev_f = _start_candidates_fwd(
-        t, fw, n, Lp, gi, bank, Sf, pw, consts
+    subs = bool(consts.get("subs"))
+    std_f, tr_f, braw_f, anyev_f, subx_f = _start_candidates_fwd(
+        t, fw, n, Lp, gi, bank, Sf, pw, consts, seq
     )
-    std_r, tr_r, braw_r, anyev_r = _start_candidates_rev(
-        t, rv, n, Lp, gi, bank, Sr, pw, consts
+    std_r, tr_r, braw_r, anyev_r, subx_r = _start_candidates_rev(
+        t, rv, n, Lp, gi, bank, Sr, pw, consts, seq
     )
     # braw_* are already the boolean "any start's raw beats the
     # start_threshold" existence tests (scatter-free segment form)
     evprod_f = fw["emit"] & braw_f & anyev_f
     evprod_r = rv["emit"] & braw_r & anyev_r
-    id_f, id_r = _assign_ids(fw, rv, evprod_f, evprod_r, Lp)
+    if subs:
+        sub_ind_f = evprod_f & subx_f["any_sub"]
+        sub_ind_r = evprod_r & subx_r["any_sub"]
+        clean_ind_f = evprod_f & subx_f["any_clean"]
+        clean_ind_r = evprod_r & subx_r["any_clean"]
+        id_f, id_r, id_sf, id_sr = _assign_ids(
+            fw, rv, clean_ind_f, clean_ind_r, Lp, sub_ind_f, sub_ind_r)
+    else:
+        id_f, id_r, _u1, _u2 = _assign_ids(fw, rv, evprod_f, evprod_r, Lp)
 
     n_slots = Lp + 3
     idx_slots = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
@@ -2248,32 +2637,105 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
     prop_f = prop_mk(stop_f, 5, vcls_f)
     prop_r = prop_mk(stop_r, 3, cr)
 
-    fams = [
+    stop_f_valid = evprod_f if not subs else clean_ind_f
+    stop_r_valid = evprod_r if not subs else clean_ind_r
+    # within-ORF insertion phases for the equal-position tie order (fwd
+    # inserts starts then stops, rev stops then starts; stop pairs by
+    # _error_key i.e. clean before sub)
+    kf4 = fw["key"] * 4
+    kr4 = rv["key"] * 4
+    fams_f = [
         dict(std_f, valid=std_f["valid"] & prop_f(evprod_f),
              typ=jnp.full((B, Lp), E_FWD_START, jnp.int32),
-             id=prop_f(id_f)),
+             id=prop_f(id_f), tiekey=prop_f(kf4) + 1),
         dict(tr_f, valid=tr_f["valid"] & taa(evprod_f, tr_f["slot"]),
              typ=jnp.full((B, 6), E_FWD_START, jnp.int32),
-             id=taa(id_f, tr_f["slot"])),
-        dict(valid=evprod_f, pos=fw["stop_pos"] + 2,
+             id=taa(id_f, tr_f["slot"]), tiekey=taa(kf4, tr_f["slot"]) + 1),
+    ]
+    if subs:
+        fams_f.append(dict(
+            subx_f["fam_std"],
+            valid=subx_f["fam_std"]["valid"] & subx_f["to_member"](evprod_f),
+            typ=jnp.full((B, Lp), E_FWD_START, jnp.int32),
+            id=subx_f["to_member"](id_sf), err_typ=2,
+            tiekey=subx_f["to_member"](kf4) + 1))
+        fams_f.append(dict(
+            subx_f["fam_tr"],
+            valid=(subx_f["fam_tr"]["valid"] & subx_f["s2slot6_valid"]
+                   & taa(evprod_f, subx_f["s2slot6"])),
+            typ=jnp.full((B, 3), E_FWD_START, jnp.int32),
+            id=taa(id_sf, subx_f["s2slot6"]), err_typ=2,
+            tiekey=taa(kf4, subx_f["s2slot6"]) + 1))
+    fams_f.append(
+        dict(valid=stop_f_valid, pos=fw["stop_pos"] + 2,
              score=zsc, sub=jnp.broadcast_to((fw["iS"] % 3 + 1) % 3,
                                              (B, n_slots)),
              typ=jnp.full((B, n_slots), E_FWD_STOP, jnp.int32), id=id_f,
-             trunc=jnp.zeros((B, n_slots), bool)),
+             trunc=jnp.zeros((B, n_slots), bool), tiekey=kf4 + 2))
+    if subs:
+        fams_f.append(
+            dict(valid=sub_ind_f, pos=fw["stop_pos"] + 2,
+                 score=zsc, sub=jnp.broadcast_to((fw["iS"] % 3 + 1) % 3,
+                                                 (B, n_slots)),
+                 typ=jnp.full((B, n_slots), E_FWD_STOP, jnp.int32),
+                 id=id_sf, trunc=jnp.zeros((B, n_slots), bool),
+                 err_pos=subx_f["err_pos_stop"], err_typ=2,
+                 tiekey=kf4 + 3))
+
+    # rev sub events belong to the PREVIOUS slot (processed first in the
+    # reference's ORF order), so at equal positions they must enumerate
+    # BEFORE the clean families (ties decide best[f]/re-link side effects)
+    fams_r = []
+    if subs:
+        fams_r.append(dict(
+            subx_r["fam_std"],
+            valid=subx_r["fam_std"]["valid"] & subx_r["to_member"](evprod_r),
+            typ=jnp.full((B, Lp), E_REV_START, jnp.int32),
+            id=subx_r["to_member"](id_sr), err_typ=2,
+            tiekey=subx_r["to_member"](kr4) + 2))
+        fams_r.append(dict(
+            subx_r["fam_tr"],
+            valid=(subx_r["fam_tr"]["valid"] & subx_r["s2slot6_valid"]
+                   & taa(evprod_r, subx_r["s2slot6"])),
+            typ=jnp.full((B, 6), E_REV_START, jnp.int32),
+            id=taa(id_sr, subx_r["s2slot6"]), err_typ=2,
+            tiekey=taa(kr4, subx_r["s2slot6"]) + 2))
+    fams_r.extend([
         dict(std_r, valid=std_r["valid"] & prop_r(evprod_r),
              typ=jnp.full((B, Lp), E_REV_START, jnp.int32),
-             id=prop_r(id_r)),
+             id=prop_r(id_r), tiekey=prop_r(kr4) + 2),
         dict(tr_r, valid=tr_r["valid"] & taa(evprod_r, tr_r["slot"]),
              typ=jnp.full((B, 6), E_REV_START, jnp.int32),
-             id=taa(id_r, tr_r["slot"])),
-        dict(valid=evprod_r, pos=rv["stop_pos"] + 2,
+             id=taa(id_r, tr_r["slot"]), tiekey=taa(kr4, tr_r["slot"]) + 2),
+    ])
+    fams_r.append(
+        dict(valid=stop_r_valid, pos=rv["stop_pos"] + 2,
              score=zsc, sub=jnp.broadcast_to(3 + (cslot_r + 1) % 3,
                                              (B, n_slots)),
              typ=jnp.full((B, n_slots), E_REV_STOP, jnp.int32), id=id_r,
-             trunc=jnp.zeros((B, n_slots), bool)),
-    ]
+             trunc=jnp.zeros((B, n_slots), bool), tiekey=kr4 + 0))
+    if subs:
+        fams_r.append(
+            dict(valid=sub_ind_r, pos=rv["stop_pos"] + 2,
+                 score=zsc, sub=jnp.broadcast_to(3 + (cslot_r + 1) % 3,
+                                                 (B, n_slots)),
+                 typ=jnp.full((B, n_slots), E_REV_STOP, jnp.int32),
+                 id=id_sr, trunc=jnp.zeros((B, n_slots), bool),
+                 err_pos=subx_r["err_pos_stop"], err_typ=2,
+                 tiekey=kr4 + 1))
+
+    fams = fams_f + fams_r
     for f in fams:
         f.pop("slot", None)
+        if not subs:
+            f.pop("tiekey", None)
+        else:
+            w = f["pos"].shape[1]
+            if "err_pos" not in f:
+                f["err_pos"] = jnp.full((B, w), -1, jnp.int32)
+            et = f.pop("err_typ", -1)
+            f["err_typ"] = (jnp.full((B, w), et, jnp.int32)
+                            if isinstance(et, int) else et)
     ev, n_events = _assemble_events(fams, Lp)
     return ev, n_events
 
@@ -2371,7 +2833,8 @@ def use_f64_default() -> bool:
 
 
 def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
-                         gene6, ind6, cache_key=None, f64=None):
+                         gene6, ind6, cache_key=None, f64=None,
+                         subs=False):
     """Run the chip-resident prediction for a padded read batch.
 
     reads (B, L) int32, lengths (B,), groups (B,) — the same batching as
@@ -2388,11 +2851,15 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         f64 = use_f64_default()
     b, L0 = reads.shape
     Lp = L0 + (-L0) % 3
+    batched_env = os.environ.get("GLIMMER_MG_TPU_DP_BATCHED", "1") == "1"
     consts = dict(
         min_gene_len=bank.min_gene_len, max_olap=bank.max_olap,
         event_threshold=bank.event_threshold,
         start_threshold=bank.start_threshold,
         ws=bank.ribosome_window, W=bank.pwm_w, f64=f64,
+        # the legacy per-lane DP never learned the error machinery;
+        # callers fall back to the host engine for subs there
+        subs=bool(subs) and batched_env,
     )
 
     # without x64, every jnp.float64 in the trace becomes f32 — exactly
@@ -2414,7 +2881,7 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         if fn is not None:
             _JIT_CACHE.move_to_end(key)
         else:
-            batched = os.environ.get("GLIMMER_MG_TPU_DP_BATCHED", "1") == "1"
+            batched = batched_env
             pad_amt = Lp - L0
 
             if batched:
@@ -2477,8 +2944,14 @@ def finish_genes(outs, n_reads: int):
     final 1-based coordinates (glimmer3.cc:1692-1759). Returns
     (list[list[TracedGene]], overflow mask)."""
     from ..engine.events import TracedGene
+    from ..engine.glimmer_mg import Error
 
-    g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events = outs
+    if len(outs) == 10:
+        (g_id, g_stop, g_len, g_sign, g_trunc, g_score, g_epos, g_etyp,
+         cnt, n_events) = outs
+    else:
+        g_id, g_stop, g_len, g_sign, g_trunc, g_score, cnt, n_events = outs
+        g_epos = g_etyp = None
     overflow = (n_events > MAX_EVENTS) | (cnt > MAX_GENES)
     results = []
     for r in range(n_reads):
@@ -2499,9 +2972,12 @@ def finish_genes(outs, n_reads: int):
                 start = stop + int(g_len[r, k]) + 2
                 if trunc:
                     start += 3
+            errors = ()
+            if g_etyp is not None and int(g_etyp[r, k]) >= 0:
+                errors = (Error(int(g_epos[r, k]), int(g_etyp[r, k])),)
             genes.append(TracedGene(
                 id=int(g_id[r, k]), start=start, stop=stop, frame=frame,
-                score=float(g_score[r, k]), errors=(), truncated=trunc,
+                score=float(g_score[r, k]), errors=errors, truncated=trunc,
             ))
         results.append(genes[::-1])
     return results, overflow

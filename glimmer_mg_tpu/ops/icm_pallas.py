@@ -545,8 +545,12 @@ def fixed_frame_scores_pallas(
 
 
 def _pick_reads_per_block(l: int, groups: int = 4, target: int = 4096) -> int:
-    """Smallest reads/block >= target positions with rpb*L % (128*groups) == 0."""
-    quantum = LANES * groups
+    """Smallest reads/block >= target positions whose sublane block is both
+    a multiple of the f32 tile (8 rows; Mosaic requires the trailing block
+    dims be divisible by (8, 128)) and divisible by ``groups``."""
+    import math
+
+    quantum = LANES * (8 * groups // math.gcd(8, groups))
     for rpb in range(1, 129):
         if (rpb * l) % quantum == 0 and rpb * l >= target:
             return rpb

@@ -136,9 +136,10 @@ def test_user_icm_mode_parity(trained_models, monkeypatch):
         assert _coords(hg) == _coords(dg), h
 
 
-def test_ineligible_falls_back(trained_models, monkeypatch):
-    """Indel/sub/quality modes must bypass the device path (and still
-    produce the host engine's output)."""
+def test_subs_mode_device_parity_classes(trained_models, monkeypatch):
+    """Substitution mode (-S) runs ON DEVICE since r5: classes-mode
+    coordinate + error-record parity vs the host engine. Indel mode still
+    falls back (checked below)."""
     gd, classes = trained_models
     recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
     recs = recs[:25]
@@ -155,6 +156,57 @@ def test_ineligible_falls_back(trained_models, monkeypatch):
         assert _coords(hg) == _coords(dg), h
         assert [tuple((e.pos, e.type) for e in g.errors) for g in hg] == \
                [tuple((e.pos, e.type) for e in g.errors) for g in dg]
+
+    # indel mode remains a host fallback with identical output
+    monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
+    host_i = list(mg.run_glimmer_mg_classes(
+        recs[:8], gd, cls_map, allow_indels=True, device_precompute=False))
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+    dev_i = list(mg.run_glimmer_mg_classes(
+        recs[:8], gd, cls_map, allow_indels=True, device_precompute=False))
+    for (h, hg), (_d, dg) in zip(host_i, dev_i):
+        assert _coords(hg) == _coords(dg), h
+
+
+def test_subs_mode_device_parity_fuzz(monkeypatch):
+    """Error-dense fuzz for the device substitution machinery: NC_000915
+    fragments with sprinkled substitutions, user-ICM mode; coordinates,
+    error records, and ORF ids must all match the host engine."""
+    from glimmer_mg_tpu.models import icm as icm_mod2
+
+    gicm = icm_mod2.read_icm(
+        "/root/reference/sample-run/glimmer3/results/NC_000915.icm")
+    (_h, genome), = read_fasta(
+        "/root/reference/sample-run/glimmer3/NC_000915.fna")
+    genome = genome.lower()
+    rng = np.random.default_rng(9)
+    reads = []
+    for i in range(80):
+        rl = int(rng.integers(200, 700))
+        st = int(rng.integers(0, len(genome) - rl))
+        s = list(genome[st:st + rl])
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, rl))
+            s[p] = "acgt"[int(rng.integers(0, 4))]
+        reads.append((f"r{i}", "".join(s)))
+
+    def run(dev):
+        monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+        if dev:
+            monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+        else:
+            monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "0")
+        return [
+            (h, [(g.id, g.start, g.stop, g.frame,
+                  tuple((e.pos, e.type) for e in g.errors)) for g in gs])
+            for h, gs in mg.run_glimmer_mg(reads, gicm, allow_subs=True,
+                                           device_precompute=False)]
+
+    host = run(False)
+    dev = run(True)
+    n_err = sum(1 for _h, gs in host for g in gs if g[4])
+    assert host == dev
+    assert n_err >= 5  # the corpus really exercised sub-extended genes
 
 
 def test_f32_dp_parity(trained_models, monkeypatch):
