@@ -343,12 +343,12 @@ def _use_native() -> bool:
 
 # Measured throughput constants for the deployment auto-selection
 # (bench.py on the build rig, r5): the native AVX-512 engine clears
-# ~10.8k reads/s per host core; the chip-resident path ~2.1k reads/s per
-# TPU v5e chip. Overridable for other hardware generations.
+# ~10.8k reads/s per host core; the chip-resident path ~3.5k reads/s per
+# TPU v5e chip (quiet machine). Overridable for other hardware.
 _NATIVE_READS_PER_S_PER_CORE = float(
     os.environ.get("GLIMMER_MG_TPU_CALIB_NATIVE", "10800"))
 _DEVICE_READS_PER_S_PER_CHIP = float(
-    os.environ.get("GLIMMER_MG_TPU_CALIB_DEVICE", "2100"))
+    os.environ.get("GLIMMER_MG_TPU_CALIB_DEVICE", "3500"))
 _ENGINE_CHOICE_LOGGED = [False]
 
 
@@ -359,7 +359,7 @@ def _use_device_dp() -> bool:
 
     GLIMMER_MG_TPU_DEVICE_DP=1/0 forces it. Otherwise the deployment
     chooses by measured economics (VERDICT r4 task 8): estimated chip
-    fleet throughput (chips x ~2.1k reads/s, data-parallel) vs host
+    fleet throughput (chips x ~3.5k reads/s, data-parallel) vs host
     native throughput (cores x ~10.8k reads/s); without the native
     engine, any accelerator wins over the per-read Python fallback. The
     choice is logged once (GLIMMER_MG_TPU_VERBOSE=1)."""

@@ -276,7 +276,7 @@ def test_default_engages_without_native(trained_models, monkeypatch):
 
 def test_engine_autoselect_economics(trained_models, monkeypatch):
     """With both engines available the default is a measured-throughput
-    choice: a chip fleet beats the host cores once chips x ~2.1k reads/s
+    choice: a chip fleet beats the host cores once chips x ~3.5k reads/s
     exceeds cores x ~10.8k (VERDICT r4 task 8)."""
     monkeypatch.delenv("GLIMMER_MG_TPU_DEVICE_DP", raising=False)
     import glimmer_mg_tpu.native as native_mod
@@ -286,9 +286,9 @@ def test_engine_autoselect_economics(trained_models, monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(os, "cpu_count", lambda: 2)
     monkeypatch.setattr(jax, "local_device_count", lambda: 16)
-    assert mg._use_device_dp()  # 16 chips (~34k) beat 2 cores (~22k)
+    assert mg._use_device_dp()  # 16 chips (~56k) beat 2 cores (~22k)
     monkeypatch.setattr(jax, "local_device_count", lambda: 4)
-    assert not mg._use_device_dp()  # 4 chips (~8k) lose
+    assert not mg._use_device_dp()  # 4 chips (~14k) lose
     monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
     assert mg._use_device_dp()  # env override wins regardless
 
