@@ -421,11 +421,20 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
 
     from ..ops import device_predict as dpk
 
+    any_qual = False
     for seq_idx, models, quals, have_qual in pending_jobs:
-        if quals is not None or have_qual or models.circular:
+        if models.circular:
             return None
         if not models.allow_truncated_orfs:
             return None
+        if quals is not None or have_qual:
+            # quality values feed exactly two things in the host engine:
+            # the indel branch (indel mode — host fallback above) and
+            # Pass_Stop_Penalty (subs mode — the device computes the
+            # per-position quality penalty from an uploaded table since
+            # r5). Error-free mode never reads them, so quality-file
+            # reads stay device-eligible there with no upload at all.
+            any_qual = allow_subs
 
     model_ids: dict[int, int] = {}
     models_list = []
@@ -441,6 +450,16 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
     lengths = np.array([len(s) for s, *_ in pending_jobs], dtype=np.int32)
     l_pad = _bucket(int(lengths.max(initial=1)))
     b_pad = _bucket(len(pending_jobs), 64)
+
+    # subs mode + quality file: upload per-base qualities (uint8, sentinel
+    # 255 = "no quality file row" -> the default 0.999 penalty table entry)
+    quals_arr = None
+    if any_qual:
+        quals_arr = np.full((len(pending_jobs), l_pad), 255, np.uint8)
+        for r, (_s, _m, quals, have_qual) in enumerate(pending_jobs):
+            if have_qual and quals is not None:
+                qv = np.minimum(np.asarray(quals[:l_pad], np.int64), 254)
+                quals_arr[r, : len(qv)] = qv.astype(np.uint8)
 
     # content-stable tags (the classes-mode model cache key) keep the bank
     # and packed-table caches warm across generator invocations; raw id()
@@ -486,9 +505,15 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
             gene_periodicity=bank.periodicity,
             cache_key=(bank_key, "devdp"), layout=layout,
         )
+        q_rows = None
+        if quals_arr is not None:
+            q_rows = np.full((len(row_src), l_pad), 255, np.uint8)
+            for row, src in enumerate(row_src):
+                if src >= 0:
+                    q_rows[row] = quals_arr[src]
         outs = dpk.predict_batch_device(
             bank, reads_dev, lens, grp, gene6, ind6, cache_key=bank_key,
-            subs=allow_subs,
+            subs=allow_subs, quals=q_rows,
         )
         genes_rows, overflow_rows = dpk.finish_genes(outs, len(row_src))
         genes = [None] * len(pending_jobs)
@@ -511,16 +536,23 @@ def _device_dp_chunk(pending_jobs, allow_indels, allow_subs):
             reads, lens, grp, model_len=bank.model_len, depth=bank.depth,
             gene_periodicity=bank.periodicity,
         )
+        q_pad = None
+        if quals_arr is not None:
+            q_pad = np.full((b_pad, l_pad), 255, np.uint8)
+            q_pad[: len(pending_jobs)] = quals_arr
         outs = dpk.predict_batch_device(
             bank, reads, lens, grp, gene6, ind6, cache_key=bank_key,
-            subs=allow_subs,
+            subs=allow_subs, quals=q_pad,
         )
         genes, overflow = dpk.finish_genes(outs, len(pending_jobs))
 
     for r, (seq_idx, models, quals, have_qual) in enumerate(pending_jobs):
         if overflow[r]:
+            # forward the error mode: dropping allow_subs here would give
+            # overflowing reads error-free predictions in subs mode
             genes[r] = _predict_read_with_models(
-                models, seq_idx, quals, have_qual_file=have_qual
+                models, seq_idx, quals, allow_subs=allow_subs,
+                have_qual_file=have_qual
             )
     return genes
 

@@ -51,6 +51,15 @@ F32 = np.float32
 MAX_EVENTS = 160
 MAX_GENES = 48
 
+# Quality -> base-call probability table for Pass_Stop_Penalty
+# (glimmer-mg.cc:961: p = 1 - 10^(-q/10)). Built with PYTHON pow so the
+# entries match the host engine's floats bitwise. Index 255 is the
+# sentinel for "no quality file" rows and holds the default 0.999.
+_CP_TAB = np.array(
+    [1.0 - 10.0 ** (-q / 10.0) for q in range(255)] + [0.999],
+    dtype=np.float64,
+)
+
 
 # ---------------------------------------------------------------------------
 # Bank construction (host side): stack every per-model table the device
@@ -957,7 +966,8 @@ def _add_pwm(score, pwm, sep):
 E_FWD_START, E_FWD_STOP, E_REV_START, E_REV_STOP = 1, 2, 3, 4
 
 
-def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None):
+def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None,
+                          quals=None):
     """Forward-strand start-event candidates.
 
     Two families: one per read position q (the start codon's first base;
@@ -1189,24 +1199,36 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None):
     emit2 = nxt(fw["emit"])
     a2 = nxt(A_ext)                           # Sf[c, hi(s2)-1] at x = s1
     t32 = ~has_next                           # s2 virtual <=> t3(s2)
-    # Pass_Stop_Penalty with default qualities: 4 constants selected by
-    # the stop codon's mid/last base being 'a' (glimmer-mg.cc:961)
-    import math as _math
-
-    _dp = 0.999
-    _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
-
-    def _pen(mid_a, last_a):
-        pp = _dp * (_fa if mid_a else _dp) * (_fa if last_a else _dp)
-        return _math.log(1.0 - pp) - _math.log(pp)
-
     mid_a = _shift_right(seq == 0, 1, False)
     last_a = seq == 0
-    pen_pos = jnp.where(
-        mid_a,
-        jnp.where(last_a, _pen(True, True), _pen(True, False)),
-        jnp.where(last_a, _pen(False, True), _pen(False, False)),
-    )
+    if consts.get("qual"):
+        # Pass_Stop_Penalty with a quality file (glimmer-mg.cc:961): the
+        # mutated stop is seq[x-2..x], so codon_p reads the per-base
+        # probability table at x-2 / x-1 / x. Multiplication order mirrors
+        # the host's running p_stop product.
+        cp = jnp.asarray(_CP_TAB)[quals.astype(jnp.int32)]
+        cp1 = _shift_right(cp, 1, 0.5)
+        cp0 = _shift_right(cp, 2, 0.5)
+        fa_of = lambda is_x, c: jnp.where(is_x, 2.0 / 3.0 * c + 1.0 / 3.0, c)
+        pp = (cp0 * fa_of(mid_a, cp1)) * fa_of(last_a, cp)
+        pen_pos = jnp.log(1.0 - pp) - jnp.log(pp)
+    else:
+        # default qualities: 4 constants (python-float log, bit-matching
+        # the host) selected by the stop codon's mid/last base being 'a'
+        import math as _math
+
+        _dp = 0.999
+        _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
+
+        def _pen(mid_a_c, last_a_c):
+            pp = _dp * (_fa if mid_a_c else _dp) * (_fa if last_a_c else _dp)
+            return _math.log(1.0 - pp) - _math.log(pp)
+
+        pen_pos = jnp.where(
+            mid_a,
+            jnp.where(last_a, _pen(True, True), _pen(True, False)),
+            jnp.where(last_a, _pen(False, True), _pen(False, False)),
+        )
     suf_pos = pen_pos + (a2 - R)              # penalty + score[-1] of seg(s2)
 
     def prop0(Fpos):
@@ -1317,7 +1339,8 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None):
     return std, tr, ex_all, any_all, subx
 
 
-def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts, seq=None):
+def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts, seq=None,
+                          quals=None):
     """Reverse-strand start-event candidates (mirror of the forward case;
     candidate index u = the genome codon's LAST base of a reverse start)."""
     import jax.numpy as jnp
@@ -1511,22 +1534,33 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts, seq=None):
     t32_u = prevread(rv["t3"][:, :Lp].astype(jnp.int32)) > 0
     b_slot_pos = _shift_right(b, 3, 0.0)       # b(s2) at position s
     total_pos = a - b_slot_pos                 # score[-1] of seg(s2) at s
-    import math as _math
-
-    _dp = 0.999
-    _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
-
-    def _pen(mid_t, last_t):
-        pp = _dp * (_fa if mid_t else _dp) * (_fa if last_t else _dp)
-        return _math.log(1.0 - pp) - _math.log(pp)
-
     mid_t = _shift_right(seq == 3, 1, False)
     last_t = _shift_right(seq == 3, 2, False)
-    pen_pos = jnp.where(
-        mid_t,
-        jnp.where(last_t, _pen(True, True), _pen(True, False)),
-        jnp.where(last_t, _pen(False, True), _pen(False, False)),
-    )
+    if consts.get("qual"):
+        # reverse strand: the mutated stop spans seq[x-2..x] with
+        # codon_p[0] at x, [1] at x-1 (mid), [2] at x-2 (last) —
+        # stop_i = [hi+1, hi, hi-1] in the host engine
+        cp = jnp.asarray(_CP_TAB)[quals.astype(jnp.int32)]
+        cp1 = _shift_right(cp, 1, 0.5)
+        cp0 = _shift_right(cp, 2, 0.5)
+        fa_of = lambda is_x, c: jnp.where(is_x, 2.0 / 3.0 * c + 1.0 / 3.0, c)
+        pp = (cp * fa_of(mid_t, cp1)) * fa_of(last_t, cp0)
+        pen_pos = jnp.log(1.0 - pp) - jnp.log(pp)
+    else:
+        import math as _math
+
+        _dp = 0.999
+        _fa = 2.0 / 3.0 * _dp + 1.0 / 3.0
+
+        def _pen(mid_t_c, last_t_c):
+            pp = _dp * (_fa if mid_t_c else _dp) * (_fa if last_t_c else _dp)
+            return _math.log(1.0 - pp) - _math.log(pp)
+
+        pen_pos = jnp.where(
+            mid_t,
+            jnp.where(last_t, _pen(True, True), _pen(True, False)),
+            jnp.where(last_t, _pen(False, True), _pen(False, False)),
+        )
     suf_pos = pen_pos + total_pos
     suf_u = prevread(suf_pos)
 
@@ -2573,7 +2607,8 @@ def _traceback_batched(ev, score, bp, best, ne):
 # ---------------------------------------------------------------------------
 
 
-def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
+def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts,
+                  quals=None):
     """BATCHED candidate construction: ORF slots, start scoring, event
     assembly — everything before the event DP. seq (B, Lp), n/gi (B,),
     gene6/ind6 (B, 6, Lp). Returns (ev of (B, E) arrays, n_events (B,))."""
@@ -2593,10 +2628,10 @@ def _frontend_one(seq, n, gi, gene6, ind6, bank, Lp: int, consts):
 
     subs = bool(consts.get("subs"))
     std_f, tr_f, braw_f, anyev_f, subx_f = _start_candidates_fwd(
-        t, fw, n, Lp, gi, bank, Sf, pw, consts, seq
+        t, fw, n, Lp, gi, bank, Sf, pw, consts, seq, quals=quals
     )
     std_r, tr_r, braw_r, anyev_r, subx_r = _start_candidates_rev(
-        t, rv, n, Lp, gi, bank, Sr, pw, consts, seq
+        t, rv, n, Lp, gi, bank, Sr, pw, consts, seq, quals=quals
     )
     # braw_* are already the boolean "any start's raw beats the
     # start_threshold" existence tests (scatter-free segment form)
@@ -2834,13 +2869,17 @@ def use_f64_default() -> bool:
 
 def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
                          gene6, ind6, cache_key=None, f64=None,
-                         subs=False):
+                         subs=False, quals=None):
     """Run the chip-resident prediction for a padded read batch.
 
     reads (B, L) int32, lengths (B,), groups (B,) — the same batching as
     the six-frame precompute; gene6/ind6 (B, 6, L) f32 are that kernel's
     outputs (device arrays; they never leave the chip). Returns host
     numpy arrays of raw gene records + per-read event counts.
+
+    quals: optional (B, L) uint8 quality values (rows without a quality
+    file filled with the 255 sentinel); only read in subs mode, where it
+    switches Pass_Stop_Penalty to the per-position quality form.
     """
     import contextlib
 
@@ -2860,6 +2899,7 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         # the legacy per-lane DP never learned the error machinery;
         # callers fall back to the host engine for subs there
         subs=bool(subs) and batched_env,
+        qual=bool(subs) and batched_env and quals is not None,
     )
 
     # without x64, every jnp.float64 in the trace becomes f32 — exactly
@@ -2886,15 +2926,20 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
 
             if batched:
 
-                def run(bj, reads, lengths, groups, gene6, ind6):
+                def run(bj, reads, lengths, groups, gene6, ind6, quals):
                     # length padding INSIDE the jit: eager device ops each
                     # pay a remote-dispatch RPC on tunneled TPUs
                     reads = jnp.pad(reads.astype(jnp.int32),
                                     ((0, 0), (0, pad_amt)))
                     gene6 = jnp.pad(gene6, ((0, 0), (0, 0), (0, pad_amt)))
                     ind6 = jnp.pad(ind6, ((0, 0), (0, 0), (0, pad_amt)))
+                    q = None
+                    if consts["qual"]:
+                        q = jnp.pad(quals, ((0, 0), (0, pad_amt)),
+                                    constant_values=np.uint8(255))
                     ev, n_events = _frontend_one(
-                        reads, lengths, groups, gene6, ind6, bj, Lp, consts)
+                        reads, lengths, groups, gene6, ind6, bj, Lp, consts,
+                        quals=q)
                     ne_cap = consts.get("ne_cap", MAX_EVENTS)
                     ne = jnp.minimum(n_events, ne_cap)
                     adjb = _prefetch_adj(bj, groups, MAX_EVENTS)
@@ -2910,7 +2955,8 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
 
             else:
 
-                def run(bj, reads, lengths, groups, gene6, ind6):
+                def run(bj, reads, lengths, groups, gene6, ind6, quals):
+                    # legacy per-lane path: no error machinery, quals unused
                     reads = jnp.pad(reads.astype(jnp.int32),
                                     ((0, 0), (0, pad_amt)))
                     gene6 = jnp.pad(gene6, ((0, 0), (0, 0), (0, pad_amt)))
@@ -2933,9 +2979,13 @@ def predict_batch_device(bank: DeviceBank, reads, lengths, groups,
         if bj is None:
             bj = _bank_jnp(bank)
             bank._jnp_cache = bj
+        # host numpy here: the jit dispatch transfers it; an eager
+        # jnp.zeros would cost one remote RPC per call on tunneled TPUs
+        qarr = (np.asarray(quals, np.uint8) if consts["qual"]
+                else np.zeros((1, 1), np.uint8))
         out = fn(bj, jnp.asarray(reads), jnp.asarray(lengths, jnp.int32),
                  jnp.asarray(groups, jnp.int32), jnp.asarray(gene6),
-                 jnp.asarray(ind6))
+                 jnp.asarray(ind6), qarr)
         return [np.asarray(x) for x in jax.device_get(out)]
 
 

@@ -209,6 +209,88 @@ def test_subs_mode_device_parity_fuzz(monkeypatch):
     assert n_err >= 5  # the corpus really exercised sub-extended genes
 
 
+def test_subs_mode_quality_file_device_parity(monkeypatch):
+    """Quality-file subs mode runs ON DEVICE: Pass_Stop_Penalty switches
+    to the per-position quality form (glimmer-mg.cc:961) built from
+    uploaded uint8 qualities. A mixed bank (reads with and without a
+    quality file) must match the host engine on coordinates, ids, AND
+    error records."""
+    from glimmer_mg_tpu.models import icm as icm_mod2
+
+    gicm = icm_mod2.read_icm(
+        "/root/reference/sample-run/glimmer3/results/NC_000915.icm")
+    (_h, genome), = read_fasta(
+        "/root/reference/sample-run/glimmer3/NC_000915.fna")
+    genome = genome.lower()
+    rng = np.random.default_rng(31)
+    reads = []
+    qualities = {}
+    for i in range(60):
+        rl = int(rng.integers(200, 700))
+        st = int(rng.integers(0, len(genome) - rl))
+        s = list(genome[st:st + rl])
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, rl))
+            s[p] = "acgt"[int(rng.integers(0, 4))]
+        rid = f"q{i}"
+        reads.append((rid, "".join(s)))
+        if i % 3 != 2:  # two thirds carry a quality file entry
+            qualities[rid] = [int(q) for q in rng.integers(5, 45, rl)]
+
+    def run(dev):
+        monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+        monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1" if dev else "0")
+        return [
+            (h, [(g.id, g.start, g.stop, g.frame,
+                  tuple((e.pos, e.type) for e in g.errors)) for g in gs])
+            for h, gs in mg.run_glimmer_mg(
+                reads, gicm, allow_subs=True, qualities=qualities,
+                device_precompute=False)]
+
+    host = run(False)
+    dev = run(True)
+    n_err = sum(1 for _h, gs in host for g in gs if g[4])
+    assert host == dev
+    assert n_err >= 3  # quality penalties really produced sub genes
+
+
+def test_quality_file_error_free_stays_on_device(trained_models,
+                                                 monkeypatch):
+    """Error-free mode never reads quality values (their only consumers
+    are the indel branch and Pass_Stop_Penalty), so a quality file must
+    not knock reads off the device path — and the output must equal the
+    no-quality run."""
+    gd, classes = trained_models
+    recs = list(read_fasta("/root/reference/sample-run/glimmer-mg/seqs.fa"))
+    recs = recs[:40]
+    rng = np.random.default_rng(41)
+    cls_map = {h.split()[0]: [classes[i % 2]]
+               for i, (h, _s) in enumerate(recs)}
+    qualities = {
+        h.split()[0]: [int(q) for q in rng.integers(1, 60, len(s))]
+        for h, s in recs
+    }
+
+    monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "0")
+    host = list(mg.run_glimmer_mg_classes(recs, gd, cls_map,
+                                          device_precompute=False))
+
+    monkeypatch.setenv("GLIMMER_MG_TPU_DEVICE_DP", "1")
+
+    def boom(*_a, **_k):  # any host fallback fails the test
+        raise AssertionError("read fell back to the host engine")
+
+    monkeypatch.setattr(mg, "predict_read", boom)
+    monkeypatch.setattr(mg, "_predict_read_with_models", boom)
+    dev = list(mg.run_glimmer_mg_classes(recs, gd, cls_map,
+                                         qualities=qualities,
+                                         device_precompute=False))
+    assert [h for h, _ in host] == [h for h, _ in dev]
+    for (h, hg), (_d, dg) in zip(host, dev):
+        assert _coords(hg) == _coords(dg), h
+
+
 def test_f32_dp_parity(trained_models, monkeypatch):
     """The f32 score-carry mode (the TPU-fast configuration — f64 is
     emulated on TPU) must also be coordinate-identical to the host
