@@ -1211,6 +1211,11 @@ def _start_candidates_fwd(t, fw, n, Lp, gi, bank, Sf, pw, consts, seq=None,
         cp0 = _shift_right(cp, 2, 0.5)
         fa_of = lambda is_x, c: jnp.where(is_x, 2.0 / 3.0 * c + 1.0 / 3.0, c)
         pp = (cp0 * fa_of(mid_a, cp1)) * fa_of(last_a, cp)
+        # clip keeps the penalty finite at the extremes (q=0 -> pp=0 would
+        # be +inf where the host raises; q>=~73 under an f32 carry rounds
+        # pp to 1.0 -> -inf); every legitimate f64 value is unchanged
+        fi = jnp.finfo(pp.dtype)
+        pp = jnp.clip(pp, fi.tiny, 1.0 - fi.epsneg)
         pen_pos = jnp.log(1.0 - pp) - jnp.log(pp)
     else:
         # default qualities: 4 constants (python-float log, bit-matching
@@ -1545,6 +1550,8 @@ def _start_candidates_rev(t, rv, n, Lp, gi, bank, Sr, pw, consts, seq=None,
         cp0 = _shift_right(cp, 2, 0.5)
         fa_of = lambda is_x, c: jnp.where(is_x, 2.0 / 3.0 * c + 1.0 / 3.0, c)
         pp = (cp * fa_of(mid_t, cp1)) * fa_of(last_t, cp0)
+        fi = jnp.finfo(pp.dtype)
+        pp = jnp.clip(pp, fi.tiny, 1.0 - fi.epsneg)
         pen_pos = jnp.log(1.0 - pp) - jnp.log(pp)
     else:
         import math as _math

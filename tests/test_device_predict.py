@@ -235,7 +235,9 @@ def test_subs_mode_quality_file_device_parity(monkeypatch):
         rid = f"q{i}"
         reads.append((rid, "".join(s)))
         if i % 3 != 2:  # two thirds carry a quality file entry
-            qualities[rid] = [int(q) for q in rng.integers(5, 45, rl)]
+            # full plausible phred span incl. extremes (q=1 -> p=0.2,
+            # q~87 -> p within an ulp of 1.0)
+            qualities[rid] = [int(q) for q in rng.integers(1, 88, rl)]
 
     def run(dev):
         monkeypatch.setenv("GLIMMER_MG_TPU_NATIVE", "0")
